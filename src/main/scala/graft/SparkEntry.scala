@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every declared operator family:
+  *  - graft.queries.Relational — SURVEY §2.B generic relational surface (b01..b22)
+  *  - graft.queries.Hierarchy  — tree-as-table analogs of §2.A (a08..a15, b14)
+  *  - graft.queries.TextOps    — dedup / minhash-LSH / text analysis (d01..d05, t01..t03, m01)
+  *  - graft.queries.VectorOps  — similarity search (s01, s02)
+  *  - graft.queries.EventOps   — sessionization / windows / json (e01..e03)
+  * Every key has a DuckDB oracle in `oracleSql` with identical column names and a
+  * pinned ORDER BY, per the driver's hash-compare contract.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Loads the reference
+    * HPCToolkit fixture end-to-end (parse -> formulas -> ratios -> hot path ->
+    * compact) when present, else falls back to the hierarchy hot path.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val fixture = "/root/reference/test/data/experiment1.xml"
+    if (new java.io.File(fixture).exists()) {
+      val pf = hpct.ProfileLoad.load(spark, fixture)
+      hpct.Ops.compact(hpct.Ops.hotPath(pf))
+    } else {
+      queries("a14_hot_path")(spark, "/root/testdata/sf0.001")
+    }
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++
+      graft.queries.Hierarchy.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.VectorOps.queries ++
+      graft.queries.EventOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles ++
+      graft.queries.Hierarchy.oracles ++
+      graft.queries.TextOps.oracles ++
+      graft.queries.VectorOps.oracles ++
+      graft.queries.EventOps.oracles
 }

@@ -165,9 +165,13 @@ object Formulas {
     */
   private def csqrt(x: Cx): Cx = x.im match {
     case None =>
+      // NULL-safe: an absent (null) input metric must stay null (the reference only
+      // evaluates formulas for metrics present in the row, HD.py:218-231). A bare
+      // `otherwise` would turn the null-predicate case into 0.0 and silently corrupt
+      // StdDev/CfVar; chained `when`s without `otherwise` propagate null instead.
       Cx(
-        when(x.re >= 0, sqrt(x.re)).otherwise(lit(0.0)),
-        Some(when(x.re >= 0, lit(0.0)).otherwise(sqrt(-x.re))))
+        when(x.re >= 0, sqrt(x.re)).when(x.re < 0, lit(0.0)),
+        Some(when(x.re >= 0, lit(0.0)).when(x.re < 0, sqrt(-x.re))))
     case Some(xi) => // general principal sqrt via |z|
       val r = hypot(x.re, xi)
       Cx(

@@ -1,0 +1,150 @@
+package graft.hpct
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Profile-analysis operators over [[ProfileFrame]] — the Spark re-expression of the
+  * reference's bespoke methods (SURVEY §2.A). Every operator returns a new
+  * [[ProfileFrame]] carrying the same metadata (the reference's `_constructor`
+  * behavior, HD.py:135-152); tree operations are relational operations on the
+  * materialized `callpath` array.
+  */
+object Ops {
+
+  /** Callpath prefix/suffix filter (`at_paths`, reference HD.py:79-92, 391-393).
+    * Arbitrary `fragments` raise in the reference (HD.py:83) — mirrored here.
+    */
+  def atPaths(pf: ProfileFrame, prefix: Seq[Long] = Nil, suffix: Seq[Long] = Nil,
+      fragments: Seq[Seq[Long]] = Nil): ProfileFrame = {
+    require(fragments.isEmpty, "filtering by arbitrary fragment not supported")
+    var df = pf.df
+    if (prefix.nonEmpty)
+      df = df.filter(size(col("callpath")) >= prefix.length &&
+        slice(col("callpath"), 1, prefix.length) === lit(prefix.toArray))
+    if (suffix.nonEmpty)
+      df = df.filter(size(col("callpath")) >= suffix.length &&
+        slice(col("callpath"), -suffix.length, suffix.length) === lit(suffix.toArray))
+    pf.copy(df = df)
+  }
+
+  /** Depth filter (`at_depths`/`at_depth`, reference HD.py:123-128, 395-401). */
+  def atDepths(pf: ProfileFrame, minDepth: Option[Int] = None,
+      maxDepth: Option[Int] = None): ProfileFrame = {
+    val depth = size(col("callpath"))
+    var df = pf.df
+    minDepth.foreach(d => df = df.filter(depth >= d))
+    maxDepth.foreach(d => df = df.filter(depth <= d))
+    pf.copy(df = df)
+  }
+
+  def atDepth(pf: ProfileFrame, depth: Int): ProfileFrame =
+    atDepths(pf, Some(depth), Some(depth))
+
+  /** Compact projection (reference HD.py:387-389). */
+  def compact(pf: ProfileFrame): DataFrame =
+    pf.df.select(pf.meta.compactColumns.map(col).toSeq: _*)
+
+  /** Hot path (reference HD.py:403-428): greedy argmax descent — from `callpath`,
+    * repeatedly take the children one level deeper and descend into the max-valued
+    * one until there are no children or the child's value drops below `threshold`
+    * (that child is excluded). Returns the rows whose callpath is on the hot path.
+    *
+    * A driver loop of tiny argmax jobs (one per depth, bounded by tree depth <= 25 in
+    * the fixtures); each job is a filter + top-1 sort over a cached 2-column frame.
+    */
+  def hotPath(pf: ProfileFrame, callpath: Seq[Long] = Nil, threshold: Double = 0.05,
+      baseColumn: Option[String] = None): ProfileFrame = {
+    val base = baseColumn.getOrElse(pf.meta.hotPathColumn)
+    require(pf.df.columns.contains(base), s"missing hot-path column $base")
+    val simple = pf.df.select(col(base).as("__v"), col("callpath"), col("id")).cache()
+    try {
+      var current = callpath
+      val hot = Seq.newBuilder[Seq[Long]]
+      var continue = true
+      while (continue) {
+        hot += current
+        val children = simple
+          .filter(size(col("callpath")) === current.length + 1 &&
+            (if (current.isEmpty) lit(true)
+             else slice(col("callpath"), 1, current.length) === lit(current.toArray)))
+          // pandas idxmax takes the first max in row (= id) order — same tie-break
+          .orderBy(desc("__v"), asc("id"))
+          .limit(1).select("callpath", "__v").collect()
+        if (children.isEmpty) continue = false
+        else {
+          val row = children.head
+          current = row.getSeq[Long](0)
+          if (row.isNullAt(1) || row.getDouble(1) < threshold) continue = false
+          // (also mirrors pandas: NaN < threshold is false => NaN child is descended)
+        }
+      }
+      val hotSet = hot.result()
+      val cond = hotSet.map(p =>
+        (col("callpath") === lit(p.toArray)).asInstanceOf[Column]).reduce(_ || _)
+      pf.copy(df = pf.df.filter(cond))
+    } finally simple.unpersist()
+  }
+
+  /** Flame-graph geometry (reference HD.py:430-540, minus matplotlib): one row per
+    * node per layer with `(id, depth, x0, width, procedure, labeled)`. First layer is
+    * normalized to 2π; each deeper layer is sibling-normalized within its parent and
+    * offset by the within-parent cumulative sum plus the parent's offset. A driver
+    * loop over depth layers (bounded by tree depth); each layer is one windowed plan
+    * plus a join against the previous layer's geometry.
+    */
+  def flameGeometry(pf: ProfileFrame, prefix: Seq[Long] = Nil, column: Option[String] = None,
+      minDepth: Option[Int] = None, maxDepth: Option[Int] = None): DataFrame = {
+    val colName = column.getOrElse(pf.meta.percentageColumn + " ratio of parent")
+    val lo = minDepth.getOrElse(prefix.length + 1)
+    require(lo > prefix.length, s"minDepth $lo must exceed prefix length ${prefix.length}")
+    val twoPi = 2.0 * math.Pi
+    val base = atPaths(pf, prefix = prefix).df
+      .select(col("id"), col("callpath"), col(colName).as("__v"), col("procedure"))
+      .cache()
+    try {
+      var depth = lo
+      var prev: DataFrame = null // (pid, pw, po)
+      var out: DataFrame = null
+      var continue = true
+      while (continue && maxDepth.forall(depth <= _)) {
+        val layerBase = base.filter(size(col("callpath")) === depth)
+        val layer =
+          if (prev == null) {
+            val w = Window.partitionBy(lit(1))
+            layerBase.select(col("id"), col("procedure"),
+              (col("__v") / sum("__v").over(w) * twoPi).as("width"),
+              (coalesce(sum("__v").over(w.orderBy("id")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
+                / sum("__v").over(w) * twoPi).as("x0"))
+          } else {
+            val byParent = Window.partitionBy("__parent")
+            layerBase
+              .withColumn("__parent", element_at(col("callpath"), -2))
+              .join(prev, col("__parent") === col("pid"))
+              .select(col("id"), col("procedure"),
+                (col("__v") / sum("__v").over(byParent) * col("pw")).as("width"),
+                (col("po") + coalesce(sum("__v").over(byParent.orderBy("id")
+                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
+                  / sum("__v").over(byParent) * col("pw")).as("x0"))
+          }
+        val geo = layer.select(col("id"), lit(depth).as("depth"), col("x0"), col("width"),
+          col("procedure"),
+          (col("width") >= lit(math.Pi / (depth - lo + 32))).as("labeled"))
+        if (geo.isEmpty) continue = false
+        else {
+          out = if (out == null) geo else out.unionByName(geo)
+          prev = geo.select(col("id").as("pid"), col("width").as("pw"), col("x0").as("po"))
+          depth += 1
+        }
+      }
+      if (out == null) pf.df.sparkSession.emptyDataFrame else out
+    } finally base.unpersist()
+  }
+
+  /** Multi-profile merge (SURVEY B17): metric columns differ per file, so align by
+    * name and fill the gaps with nulls.
+    */
+  def merge(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+}

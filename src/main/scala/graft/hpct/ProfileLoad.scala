@@ -1,0 +1,207 @@
+package graft.hpct
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Assembles a [[ProfileFrame]] from an HPCToolkit experiment XML: parsed rows ->
+  * DataFrame with an explicit StructType -> finalize-formula projection -> root
+  * fix-up -> ratio columns. The Spark analog of the reference constructor
+  * (hpctoolkit_dataframe.py:154-216) plus `_fix_root_measurement` (ibid:291-305) and
+  * `_add_percentage_columns` (ibid:331-385).
+  *
+  * Complex-valued metrics (StdDev/CfVar, whose formulas contain `sqrt` of a possibly
+  * negative variance — the reference uses `cmath.sqrt`, ibid:3) are represented as
+  * `struct<re: double, im: double>` columns; everything else is `double`. Ratio and
+  * hot-path columns only ever touch real metrics (SURVEY §7.4.1).
+  */
+object ProfileLoad {
+
+  private val RootFixPattern = "(.+:.+) \\(E\\)".r
+
+  /** Driver-side single-file load (parity path; fixture files are ~12k lines).
+    * For many files use [[loadMany]], which parses on executors.
+    */
+  def load(spark: SparkSession, path: String, maxDepth: Option[Int] = None,
+      skipCallsites: Boolean = true): ProfileFrame = {
+    val parsed = XmlReader.parse(path, maxDepth, skipCallsites)
+    val raw = rawFrame(spark, parsed.meta, parsed.rows)
+    finishLoad(raw, parsed.meta)
+  }
+
+  /** Distributed multi-file load: headers parse on the driver (cheap, stops before
+    * the tree) to fix the union schema, whole-file parsing runs in executor tasks
+    * (one file per task — the reference's per-file unit of work, SURVEY A1), and the
+    * per-file frames merge by name (metric columns differ across files). The `db`
+    * column keys every per-file computation (root fix, ratios partition by it).
+    */
+  def loadMany(spark: SparkSession, paths: Seq[String], maxDepth: Option[Int] = None,
+      skipCallsites: Boolean = true): DataFrame = {
+    val metas = paths.map(XmlReader.parseHeader)
+    // union metric columns: first-appearance order across files
+    val metricNames = metas.flatMap(_.metricNames).distinct
+    val schema = StructType(
+      StructField("db", StringType, nullable = false) +:
+        metricNames.map(StructField(_, DoubleType, nullable = true)) ++:
+        locationFields)
+    val slotOf = metricNames.zipWithIndex.toMap
+    val fileMetricNames: Map[String, Seq[String]] =
+      paths.zip(metas).map { case (p, m) => p -> m.metricNames }.toMap
+    val bc = spark.sparkContext.broadcast((fileMetricNames, slotOf, metricNames.length, maxDepth, skipCallsites))
+    val rdd = spark.sparkContext.parallelize(paths, paths.length).flatMap { p =>
+      val (names, slots, width, md, sc) = bc.value
+      val fileNames = names(p)
+      XmlReader.parse(p, md, sc).rows.iterator.map { r =>
+        val vals = new Array[Any](width)
+        var i = 0
+        while (i < fileNames.length) {
+          vals(slots(fileNames(i))) = r.metrics(i)
+          i += 1
+        }
+        Row.fromSeq(p +: vals.toSeq :++ locationValues(r))
+      }
+    }
+    var df = spark.createDataFrame(rdd, schema)
+    // per-file formulas: each derived column is guarded by its own raw metric being
+    // present, so rows from files without that metric stay null. A metric name shared
+    // by several files keeps the first file's formula (they agree in practice — the
+    // fixtures have disjoint metric families).
+    val done = scala.collection.mutable.Set.empty[String]
+    for (meta <- metas) {
+      val fresh = meta.copy(metricsFormulas =
+        meta.metricsFormulas.view.filterKeys(!done.contains(_)).toMap)
+      done ++= meta.metricsFormulas.keys
+      df = applyFormulas(df, fresh)
+    }
+    rootFix(df)
+  }
+
+  // ------------------------------------------------------------------ pieces
+
+  private def locationFields: Seq[StructField] = Seq(
+    StructField("callpath", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("module path", StringType, nullable = true),
+    StructField("module", StringType, nullable = true),
+    StructField("file path", StringType, nullable = true),
+    StructField("file", StringType, nullable = true),
+    StructField("line", LongType, nullable = false),
+    StructField("procedure", StringType, nullable = true),
+    StructField("id", LongType, nullable = false),
+    StructField("type", StringType, nullable = false))
+
+  private def locationValues(r: XmlReader.NodeRow): Seq[Any] = Seq(
+    r.callpath.toSeq, r.modulePath, r.module, r.filePath, r.file, r.line, r.procedure,
+    r.id, r.nodeType)
+
+  /** Raw (pre-formula) DataFrame: metric columns in ascending-id order, all double. */
+  def rawFrame(spark: SparkSession, meta: ProfileMeta,
+      rows: IndexedSeq[XmlReader.NodeRow]): DataFrame = {
+    val schema = StructType(
+      meta.metricNames.map(StructField(_, DoubleType, nullable = true)) ++ locationFields)
+    val data = rows.map(r => Row.fromSeq(r.metrics.toSeq ++ locationValues(r))).asJava
+    spark.createDataFrame(data, schema)
+  }
+
+  /** One whole-stage-codegen'd projection replacing each derived metric with its
+    * compiled finalize formula (reference `_evaluate_measurements_data`,
+    * HD.py:218-231). Formulas read RAW metric values (the reference passes the raw
+    * `data` dict to every formula), and a derived value exists only where the raw
+    * metric itself was measured — hence the isNotNull guard.
+    */
+  def applyFormulas(df: DataFrame, meta: ProfileMeta): DataFrame = {
+    val byId: Map[Int, String] = meta.metricsById.map { case (i, n) => i -> n }.toMap
+    val cols = df.columns.map { c =>
+      meta.metricsFormulas.get(c) match {
+        case Some(src) if df.schema(c).dataType == DoubleType =>
+          val ast = Formulas.parse(src)
+          val cx = Formulas.compile(ast, n => col(byId(n)))
+          val guarded =
+            if (Formulas.canGoComplex(ast))
+              when(col(c).isNotNull,
+                struct(cx.re.as("re"), cx.im.getOrElse(lit(0.0)).as("im")))
+            else
+              when(col(c).isNotNull, cx.re)
+          guarded.as(c)
+        case _ => col(c)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Root fix-up (reference HD.py:291-305): at the root row, every `"X (E)"` metric
+    * with an `"X (I)"` partner takes the partner's value (the root's own exclusive
+    * measurements are incomplete and overwritten).
+    */
+  def rootFix(df: DataFrame): DataFrame = {
+    val columns = df.columns.toSet
+    val cols = df.columns.map { c =>
+      c match {
+        case RootFixPattern(prefix) if columns.contains(s"$prefix (I)") =>
+          when(col("id") === Model.RootId, col(s"$prefix (I)")).otherwise(col(c)).as(c)
+        case _ => col(c)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Ratio columns for the percentage base (reference HD.py:331-385): ratio-of-total
+    * (value / root value, a broadcast one-row cross join — never a collect) and
+    * ratio-of-parent (self equi-join child.parent_path = parent.callpath). Column
+    * order matches the reference's double insert: base, parent, total.
+    */
+  def addRatioColumns(df: DataFrame, base: String): DataFrame = {
+    val totalName = s"$base ratio of total"
+    val parentName = s"$base ratio of parent"
+    val rootRow = df.filter(col("id") === Model.RootId).select(col(base).as("__root_total"))
+    val parents = df.select(col("callpath").as("__ppath"), col(base).as("__pval"))
+    val joined = df
+      .crossJoin(broadcast(rootRow))
+      .withColumn("__ppath", slice(col("callpath"), 1, greatest(size(col("callpath")) - 1, lit(0))))
+      .join(parents, Seq("__ppath"), "left")
+      .withColumn(totalName, col(base) / col("__root_total"))
+      .withColumn(parentName, col(base) / col("__pval"))
+      .drop("__root_total", "__pval", "__ppath")
+    // reinsert in reference order: ..., base, parent, total, ...
+    val ordered = df.columns.flatMap {
+      case c if c == base => Seq(c, parentName, totalName)
+      case c => Seq(c)
+    }
+    joined.select(ordered.map(col).toSeq: _*)
+  }
+
+  /** Exact walk-up ratio-of-parent (reference HD.py:360-385): the divisor is the
+    * deepest proper ancestor whose value is >= the node's own value, falling back to
+    * the root. The reference's direct-parent case (ancestor >= value immediately) is
+    * the overwhelmingly common one; this variant exists behind a flag for fidelity
+    * and is fixture-verified to agree with the plain parent join (SURVEY §7.4.2).
+    * One explode over ancestor prefixes (O(depth) rows per node, depth <= 25) + one
+    * equi-join on the prefix array + one argmax aggregation.
+    */
+  def exactParentRatio(df: DataFrame, base: String): DataFrame = {
+    val prefixes = df
+      .select(col("id").as("__cid"), col(base).as("__cval"), col("callpath"))
+      .withColumn("__k",
+        explode(when(size(col("callpath")) > 0, sequence(lit(0), size(col("callpath")) - 1))
+          .otherwise(array(lit(0)))))
+      .select(col("__cid"), col("__cval"),
+        slice(col("callpath"), 1, col("__k")).as("__ppath"), col("__k"))
+    val ancestors = df.select(col("callpath").as("__ppath"), col(base).as("__aval"))
+    val chosen = prefixes.join(ancestors, Seq("__ppath"))
+      .groupBy("__cid", "__cval")
+      .agg(
+        max(when(col("__aval") >= col("__cval"), struct(col("__k"), col("__aval")))).as("__best"),
+        min(when(col("__k") === 0, col("__aval"))).as("__rootval"))
+      .select(col("__cid"),
+        (col("__cval") / coalesce(col("__best.__aval"), col("__rootval")))
+          .as(s"$base ratio of parent (exact)"))
+    df.join(chosen, df("id") === chosen("__cid"), "left").drop("__cid")
+  }
+
+  /** formula projection + root fix + ratio columns, shared by load paths. */
+  private def finishLoad(raw: DataFrame, meta: ProfileMeta): ProfileFrame = {
+    val evaluated = rootFix(applyFormulas(raw, meta))
+    ProfileFrame(addRatioColumns(evaluated, meta.percentageColumn), meta)
+  }
+}

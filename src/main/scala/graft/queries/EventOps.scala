@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: sessionization via
+  * `session_window` (the batch form of the Structured Streaming session operator —
+  * see graft.streaming for the readStream/watermark variant), tumbling-window
+  * aggregation, and JSON property extraction.
+  *
+  * The DuckDB oracle for sessionization is the classic gaps-and-islands rewrite
+  * (lag -> new-session flag -> running sum), which is semantically identical to
+  * `session_window(ts, gap)`: an event starts a new session iff its gap from the
+  * previous event is >= 30 minutes.
+  */
+object EventOps {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "e01_sessions" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min("ts").as("mints"))
+        .select(col("user_id"), col("n_events"),
+          date_format(col("mints"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "session_start")),
+
+    "e02_hourly" -> ((s, d) =>
+      events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .orderBy("hour", "event_type")),
+
+    "e03_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_sessions" ->
+      ("WITH x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM events), " +
+        "y AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+        "SELECT user_id, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start " +
+        "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "e02_hourly" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS sv FROM events GROUP BY hour, event_type " +
+        "ORDER BY hour, event_type"),
+    "e03_json_extract" ->
+      "SELECT event_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) AS k FROM events ORDER BY event_id",
+  )
+}

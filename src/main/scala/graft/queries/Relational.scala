@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.B generic relational surface, declared as named oracle-checked queries
+  * over the driver's synthetic tables. Each query pins row order (full ORDER BY on a
+  * unique key) and aliases every computed column identically to its DuckDB oracle, so
+  * the driver's sorted-column hash compare is deterministic. Double-valued aggregates
+  * are rounded (2–6 dp) because Spark and DuckDB may sum in different orders; per-row
+  * arithmetic is left exact (same IEEE ops on the same inputs on both sides).
+  *
+  * Scale notes are per query; global rule: aggregations/joins shuffle on their keys,
+  * dimension joins broadcast, and no query collects to the driver.
+  */
+object Relational {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // B1: column projection / subset (reference HD.py:355, 389).
+    "b01_project" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // B2: boolean-mask filter + conjunction (reference examples.ipynb cell 7).
+    // Filters push to the parquet scan (PushedFilters in .explain).
+    "b02_filter" -> ((s, d) =>
+      customer(s, d)
+        .filter(col("c_acctbal") > 5000 && col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // B3: row lookup by key (reference .loc[[k]], HD.py:357).
+    "b03_key_lookup" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderkey") === 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")),
+
+    // B4: scalar extraction (reference .item(), HD.py:358). min/max/count are
+    // order-insensitive, so no rounding needed.
+    "b04_scalar" -> ((s, d) =>
+      orders(s, d).agg(
+        max("o_totalprice").as("max_price"),
+        min("o_totalprice").as("min_price"),
+        count(lit(1)).as("n"))),
+
+    // B5: argmax / top-1 (reference idxmax(), HD.py:422). Tie-break on key for
+    // determinism, exactly like pandas idxmax picks the first index.
+    "b05_argmax" -> ((s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(1)),
+
+    // B6: membership / semi-join (reference isin, HD.py:428). LEFT SEMI keeps the
+    // build side small; Spark broadcasts the filtered dim automatically under AQE.
+    "b06_semijoin" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val pk = part(s, d).filter(col("p_size") > 40)
+      li.join(pk, li("l_partkey") === pk("p_partkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // B7: row-wise UDF replaced by a native CASE expression (reference apply(axis=1),
+    // HD.py:392) — stays inside whole-stage codegen, no UDF.
+    "b07_case_expr" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") < 0.03, "low")
+            .when(col("l_discount") < 0.07, "mid")
+            .otherwise("high").as("band"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // B8: insert column at position (reference df.insert, HD.py:385) — withColumn +
+    // explicit select ordering.
+    "b08_insert_column" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumn("revenue", round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "revenue", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // B9: cursor/iteration replaced by a lag window (reference iterrows, HD.py:359) —
+    // partitioned by customer so no global single-partition window at scale.
+    "b09_lag" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          round(col("o_totalprice") - lag("o_totalprice", 1)
+            .over(Window.partitionBy("o_custkey").orderBy("o_orderkey")), 2).as("delta"))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // B10: slicing / every-kth-row sampling (reference compact[::200]). The global
+    // row_number is the pandas semantic being reproduced; at 100 TB use a keyed
+    // sample (hash(key) % k) instead — documented trade-off, parity first.
+    "b10_slice" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          row_number().over(Window.orderBy("l_orderkey", "l_linenumber")).cast("long").as("rn"))
+        .filter(col("rn") % 200 === 1)
+        .orderBy("rn")),
+
+    // B11: grouped aggregation (reference flame sibling sums, HD.py:495) — classic
+    // partial-agg + shuffle-on-keys plan; map-side combine is automatic.
+    "b11_groupby" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // B12: cumulative sum within partition (reference cumsum offsets, HD.py:499-508).
+    "b12_cumsum" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("cum"))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // B13: ranking window (reference hottest-child selection, HD.py:422).
+    "b13_rank" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(
+            Window.partitionBy("o_custkey")
+              .orderBy(desc("o_totalprice"), asc("o_orderkey"))).cast("long").as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "rk")),
+
+    // B15: broadcast dimension join (reference id->name resolution, HD.py:40-46).
+    "b15_dimjoin" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("acct"))
+        .orderBy("n_name")),
+
+    // B16: sort + limit (top-k): total order with unique tie-break.
+    "b16_sort_limit" -> ((s, d) =>
+      customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        .limit(10)),
+
+    // B17: unionByName with missing columns (reference multi-profile merge, SURVEY B17).
+    "b17_union" -> ((s, d) => {
+      val c = customer(s, d).select(
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("segment"))
+      val su = supplier(s, d).select(
+        col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+      c.unionByName(su, allowMissingColumns = true).orderBy("name")
+    }),
+
+    // B18: array functions (reference callpath ops, HD.py:88-91, 283) — collect_list
+    // is made deterministic with sort_array; output scalars + a joined string so the
+    // compare never depends on list hashing.
+    "b18_arrays" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          sort_array(collect_list("l_linenumber")).as("lns"),
+          sort_array(collect_list("l_partkey")).as("pks"))
+        .select(
+          col("l_orderkey"),
+          size(col("lns")).cast("long").as("n_items"),
+          element_at(col("lns"), 1).as("first_ln"),
+          array_contains(col("lns"), 3).as("has3"),
+          aggregate(col("pks"), lit(0L), (a, x) => a + x).as("sum_pk"),
+          concat_ws(",", col("lns")).as("lns_str"))
+        .orderBy("l_orderkey")),
+
+    // B19: string/regex functions (reference column-name pairing, HD.py:292-298).
+    "b19_strings" -> ((s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(element_at(split(col("p_name"), " "), 1)).as("first_word"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy("p_partkey")),
+
+    // B20: math scalar functions (reference formulas: / - sqrt pow, HD.py:63-76).
+    "b20_math" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          round(pow(lit(1) + col("l_discount"), 2), 6).as("pow_disc"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          abs(round(col("l_tax") - col("l_discount"), 2)).as("tdiff"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // B21: timestamp functions (driver `events`/`orders` tables; SURVEY B21).
+    "b21_time" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+        .orderBy("mon")),
+
+    // B22: distinct (reference OrderedSet of prefixes, HD.py:315).
+    "b22_distinct" -> ((s, d) =>
+      orders(s, d)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b01_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "b02_filter" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING' ORDER BY c_custkey",
+    "b03_key_lookup" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey = 42",
+    "b04_scalar" ->
+      "SELECT max(o_totalprice) AS max_price, min(o_totalprice) AS min_price, count(*) AS n FROM orders",
+    "b05_argmax" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1",
+    "b06_semijoin" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40) ORDER BY l_orderkey, l_linenumber",
+    "b07_case_expr" ->
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_discount < 0.03 THEN 'low' WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "b08_insert_column" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice, round(l_extendedprice * (1 - l_discount), 2) AS revenue, l_discount FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "b09_lag" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta FROM orders ORDER BY o_custkey, o_orderkey",
+    "b10_slice" ->
+      "SELECT l_orderkey, l_linenumber, rn FROM (SELECT l_orderkey, l_linenumber, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn % 200 = 1 ORDER BY rn",
+    "b11_groupby" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "b12_cumsum" ->
+      "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum FROM orders ORDER BY o_custkey, o_orderkey",
+    "b13_rank" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk",
+    "b15_dimjoin" ->
+      "SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acct FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "b16_sort_limit" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10",
+    "b17_union" ->
+      "SELECT name, acctbal, segment FROM (SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer UNION ALL SELECT s_name AS name, s_acctbal AS acctbal, NULL AS segment FROM supplier) ORDER BY name",
+    "b18_arrays" ->
+      "SELECT l_orderkey, len(lns) AS n_items, lns[1] AS first_ln, list_contains(lns, 3) AS has3, list_sum(pks) AS sum_pk, array_to_string(lns, ',') AS lns_str FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns, list_sort(list(l_partkey)) AS pks FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey",
+    "b19_strings" ->
+      "SELECT p_partkey, upper(split_part(p_name, ' ', 1)) AS first_word, regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num, length(p_name) AS name_len FROM part ORDER BY p_partkey",
+    "b20_math" ->
+      "SELECT l_orderkey, l_linenumber, round(sqrt(l_quantity), 6) AS sqrt_qty, round(pow(1 + l_discount, 2), 6) AS pow_disc, round(ln(l_extendedprice), 6) AS ln_price, abs(round(l_tax - l_discount, 2)) AS tdiff FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "b21_time" ->
+      "SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n, round(sum(o_totalprice), 2) AS tot FROM orders GROUP BY strftime(o_orderdate, '%Y-%m') ORDER BY mon",
+    "b22_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority",
+  )
+}

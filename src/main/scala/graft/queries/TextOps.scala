@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` table: exact dedup,
+  * MinHash-LSH near-dup detection, n-gram Jaccard verification, text quality stats,
+  * language ID, and document fingerprinting. Everything is hash-bucketed — near-dup
+  * candidates come from LSH band-bucket equi-joins, never an all-pairs crossJoin, so
+  * the plans scale: the widest shuffle key is (band, signature), and candidate-pair
+  * verification touches only bucket-collision pairs.
+  *
+  * Determinism: all hashes are md5 over explicit strings (identical in DuckDB), and
+  * collect_list is always wrapped in array_sort before use.
+  */
+object TextOps {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** word 3-gram shingles: (doc_id, shingle), one row per position. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(when(size(col("tk")) >= 3, sequence(lit(1), size(col("tk")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("tk"), col("i"), lit(3))).as("shingle"))
+
+  /** MinHash signature banded for LSH: (doc_id, band, sig); k=8 hashes, 4 bands of 2.
+    * h_j(doc) = min over shingles of md5(j || '|' || shingle); band sig = md5 of the
+    * band's hashes joined in j order.
+    */
+  private def bands(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("j"), col("shingle"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit("|"), col("shingle")).cast("binary")).as("h"))
+      .groupBy("doc_id", "j")
+      .agg(min("h").as("mh"))
+      .groupBy(col("doc_id"), floor(col("j") / 2).cast("long").as("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("j"), col("mh")))), x => x.getField("mh")))
+        .cast("binary")).as("sig"))
+
+  /** LSH candidate pairs: docs sharing any (band, sig) bucket, id_a < id_b. */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val b = bands(s, d)
+    val a = b.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+    val c = b.select(col("doc_id").as("id_b"), col("band"), col("sig"))
+    a.join(c, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  private val stopEn = Seq("the", "of", "and")
+  private val stopEs = Seq("la", "el", "de")
+
+  private def countIn(words: Seq[String]): Column =
+    size(filter(split(lower(col("text")), " "),
+      t => words.map(w => t === w).reduce(_ || _))).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup, hash-grouped: one row per distinct content hash with the surviving
+    // (minimum) id and the duplicate count. GroupBy on md5 shuffles evenly at 100 TB.
+    "d01_dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+        .orderBy("keep_id")),
+
+    // Exact dedup, row-preserving: keep the first doc per content hash (window rank,
+    // the drop-duplicates-with-deterministic-winner formulation).
+    "d02_dedup_rows" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select("doc_id", "n_chars", "lang")
+        .orderBy("doc_id")),
+
+    // MinHash-LSH band signatures (shingle -> minhash -> band).
+    "d03_minhash_bands" -> ((s, d) =>
+      bands(s, d).select("doc_id", "band", "sig").orderBy("doc_id", "band")),
+
+    // Near-duplicate candidate pairs via LSH bucket join — no crossJoin anywhere.
+    "d04_neardup_pairs" -> ((s, d) =>
+      candidatePairs(s, d).orderBy("id_a", "id_b")),
+
+    // Exact 3-gram Jaccard for the LSH candidates only (verification stage).
+    "d05_jaccard" -> ((s, d) => {
+      val dsh = shingles(s, d).distinct()
+      val cnt = dsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val cand = candidatePairs(s, d)
+      val inter = cand
+        .join(dsh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+        .join(dsh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), "id_a")
+        .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("i").cast("double") / (col("ca") + col("cb") - col("i")), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Text quality stats: char/token counts + stopword ratio (quality scoring).
+    "t01_textstats" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("nc"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          countIn(Seq("the", "a")).as("n_stop"))
+        .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")),
+
+    // Language ID: marker-word score argmax (n-gram heuristic family).
+    "t02_langid" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), countIn(stopEn).as("n_en"), countIn(stopEs).as("n_es"))
+        .select(col("doc_id"),
+          when(col("n_en") >= col("n_es"), "en").otherwise("es").as("pred_lang"),
+          col("lang"))
+        .orderBy("doc_id")),
+
+    // Document fingerprint: md5 over punctuation-stripped lowercased text.
+    "t03_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("binary")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing: opaque binary column + typed metadata extraction. The
+    // binary payload here is the text bytes (the container has no image libs; see
+    // graft.multimodal for the stubbed decode path with real Spark plumbing).
+    "m01_binary_meta" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).cast("long").as("nbytes"),
+          substring(col("text"), 1, 4).as("head4"),
+          substring(md5(col("text").cast("binary")), 1, 8).as("fp8"))
+        .orderBy("doc_id")),
+  )
+
+  /** Shared DuckDB CTEs mirroring [[shingles]]/[[bands]]/[[candidatePairs]]. */
+  private val ShCte =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      "sh AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle " +
+      "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks))"
+  private val BandsCte = ShCte +
+    ", mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh " +
+    "FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j)" +
+    ", bands AS (SELECT doc_id, CAST(j // 2 AS BIGINT) AS band, " +
+    "md5(string_agg(mh, ',' ORDER BY j)) AS sig FROM mh GROUP BY doc_id, band)"
+  private val CandCte = BandsCte +
+    ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+    "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups FROM documents GROUP BY md5(text) ORDER BY keep_id",
+    "d02_dedup_rows" ->
+      "SELECT doc_id, n_chars, lang FROM (SELECT doc_id, n_chars, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id",
+    "d03_minhash_bands" ->
+      (BandsCte + " SELECT doc_id, band, sig FROM bands ORDER BY doc_id, band"),
+    "d04_neardup_pairs" ->
+      (CandCte + " SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"),
+    "d05_jaccard" ->
+      (CandCte +
+        ", dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)" +
+        ", cnt AS (SELECT doc_id, count(*) AS c FROM dsh GROUP BY doc_id)" +
+        ", inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
+        "JOIN dsh a ON a.doc_id = c.id_a JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle " +
+        "GROUP BY c.id_a, c.id_b)" +
+        " SELECT i.id_a, i.id_b, round(CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i), 6) AS jaccard" +
+        " FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b" +
+        " ORDER BY id_a, id_b"),
+    "t01_textstats" ->
+      ("SELECT doc_id, nc, n_tokens, n_stop, round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio FROM " +
+        "(SELECT doc_id, CAST(length(text) AS BIGINT) AS nc, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop " +
+        "FROM documents) ORDER BY doc_id"),
+    "t02_langid" ->
+      ("SELECT doc_id, CASE WHEN n_en >= n_es THEN 'en' ELSE 'es' END AS pred_lang, lang FROM " +
+        "(SELECT doc_id, lang, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'the' OR t = 'of' OR t = 'and')) AS BIGINT) AS n_en, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'la' OR t = 'el' OR t = 'de')) AS BIGINT) AS n_es " +
+        "FROM documents) ORDER BY doc_id"),
+    "t03_fingerprint" ->
+      "SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp FROM documents ORDER BY doc_id",
+    "m01_binary_meta" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, substr(text, 1, 4) AS head4, substr(md5(text), 1, 8) AS fp8 FROM documents ORDER BY doc_id",
+  )
+}
