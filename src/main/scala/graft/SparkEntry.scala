@@ -10,8 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - graft.queries.TextOps    — dedup / minhash-LSH / text analysis (d01..d05, t01..t03, m01)
   *  - graft.queries.VectorOps  — similarity search (s01, s02)
   *  - graft.queries.EventOps   — sessionization / windows / json (e01..e03)
-  * Every key has a DuckDB oracle in `oracleSql` with identical column names and a
-  * pinned ORDER BY, per the driver's hash-compare contract.
+  *  - graft.queries.MediaOps   — multimodal decode/resize/frame-sample (m02..m04)
+  * Every key except the MediaOps stub-decode family has a DuckDB oracle in
+  * `oracleSql` with identical column names and a pinned ORDER BY, per the driver's
+  * hash-compare contract (MediaOps is rows-only by design: stub decode is FNV-1a
+  * over bytes, not expressible in DuckDB SQL).
   */
 object SparkEntry {
 
@@ -23,7 +26,7 @@ object SparkEntry {
     val fixture = "/root/reference/test/data/experiment1.xml"
     if (new java.io.File(fixture).exists()) {
       val pf = hpct.ProfileLoad.load(spark, fixture)
-      hpct.Ops.compact(hpct.Ops.hotPath(pf))
+      hpct.Ops.compact(hpct.Ops.hotPath(pf)).df
     } else {
       queries("a14_hot_path")(spark, "/root/testdata/sf0.001")
     }
@@ -35,7 +38,8 @@ object SparkEntry {
       graft.queries.Hierarchy.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
-      graft.queries.EventOps.queries
+      graft.queries.EventOps.queries ++
+      graft.queries.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -45,5 +49,6 @@ object SparkEntry {
       graft.queries.Hierarchy.oracles ++
       graft.queries.TextOps.oracles ++
       graft.queries.VectorOps.oracles ++
-      graft.queries.EventOps.oracles
+      graft.queries.EventOps.oracles ++
+      graft.queries.MediaOps.oracles
 }

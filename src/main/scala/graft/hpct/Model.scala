@@ -78,3 +78,10 @@ object Model {
   * operator on this wrapper returns a new [[ProfileFrame]] carrying the same meta.
   */
 final case class ProfileFrame(df: DataFrame, meta: ProfileMeta)
+
+/** A multi-file load ([[ProfileLoad.loadMany]]): one merged table keyed by the `db`
+  * column plus the per-file metadata. The reference has no merged abstraction (its
+  * notebooks hold one frame per file); this is the union-by-name analog with
+  * per-db ratio semantics identical to per-file single loads.
+  */
+final case class MultiProfileFrame(df: DataFrame, metas: Map[String, ProfileMeta])

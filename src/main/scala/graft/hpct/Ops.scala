@@ -41,9 +41,12 @@ object Ops {
   def atDepth(pf: ProfileFrame, depth: Int): ProfileFrame =
     atDepths(pf, Some(depth), Some(depth))
 
-  /** Compact projection (reference HD.py:387-389). */
-  def compact(pf: ProfileFrame): DataFrame =
-    pf.df.select(pf.meta.compactColumns.map(col).toSeq: _*)
+  /** Compact projection (reference HD.py:387-389). Returns [[ProfileFrame]]: the
+    * reference's `.compact` property yields the subclass, and its test asserts the
+    * sidecar metadata survives it (T.py:40-45).
+    */
+  def compact(pf: ProfileFrame): ProfileFrame =
+    pf.copy(df = pf.df.select(pf.meta.compactColumns.map(col).toSeq: _*))
 
   /** Hot path (reference HD.py:403-428): greedy argmax descent — from `callpath`,
     * repeatedly take the children one level deeper and descend into the max-valued
@@ -102,44 +105,54 @@ object Ops {
     val base = atPaths(pf, prefix = prefix).df
       .select(col("id"), col("callpath"), col(colName).as("__v"), col("procedure"))
       .cache()
-    try {
-      var depth = lo
-      var prev: DataFrame = null // (pid, pw, po)
-      var out: DataFrame = null
-      var continue = true
-      while (continue && maxDepth.forall(depth <= _)) {
-        val layerBase = base.filter(size(col("callpath")) === depth)
-        val layer =
-          if (prev == null) {
-            val w = Window.partitionBy(lit(1))
-            layerBase.select(col("id"), col("procedure"),
-              (col("__v") / sum("__v").over(w) * twoPi).as("width"),
-              (coalesce(sum("__v").over(w.orderBy("id")
+    // ONE bounded action up front (the max tree depth, <= 25 in the fixtures) instead
+    // of a per-layer isEmpty job; the loop then only BUILDS plans. Callpath prefix
+    // closure guarantees no empty layer below the max depth.
+    val maxRow = base.agg(max(size(col("callpath")))).head()
+    if (maxRow.isNullAt(0)) { base.unpersist(); return pf.df.sparkSession.emptyDataFrame }
+    val hi = math.min(maxRow.getInt(0), maxDepth.getOrElse(Int.MaxValue))
+    var depth = lo
+    var prev: DataFrame = null // (pid, pw, po)
+    var out: DataFrame = null
+    while (depth <= hi) {
+      val layerBase = base.filter(size(col("callpath")) === depth)
+      val layer =
+        if (prev == null) {
+          // depth-lo siblings form ONE normalization group by construction (the full
+          // circle), so the single-partition window is the semantics, not a bottleneck
+          // — its input is one tree level, not the dataset.
+          val w = Window.partitionBy(lit(1))
+          layerBase.select(col("id"), col("procedure"),
+            (col("__v") / sum("__v").over(w) * twoPi).as("width"),
+            (coalesce(sum("__v").over(w.orderBy("id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
+              / sum("__v").over(w) * twoPi).as("x0"))
+        } else {
+          val byParent = Window.partitionBy("__parent")
+          layerBase
+            .withColumn("__parent", element_at(col("callpath"), -2))
+            .join(prev, col("__parent") === col("pid"))
+            .select(col("id"), col("procedure"),
+              (col("__v") / sum("__v").over(byParent) * col("pw")).as("width"),
+              (col("po") + coalesce(sum("__v").over(byParent.orderBy("id")
                 .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
-                / sum("__v").over(w) * twoPi).as("x0"))
-          } else {
-            val byParent = Window.partitionBy("__parent")
-            layerBase
-              .withColumn("__parent", element_at(col("callpath"), -2))
-              .join(prev, col("__parent") === col("pid"))
-              .select(col("id"), col("procedure"),
-                (col("__v") / sum("__v").over(byParent) * col("pw")).as("width"),
-                (col("po") + coalesce(sum("__v").over(byParent.orderBy("id")
-                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
-                  / sum("__v").over(byParent) * col("pw")).as("x0"))
-          }
-        val geo = layer.select(col("id"), lit(depth).as("depth"), col("x0"), col("width"),
-          col("procedure"),
-          (col("width") >= lit(math.Pi / (depth - lo + 32))).as("labeled"))
-        if (geo.isEmpty) continue = false
-        else {
-          out = if (out == null) geo else out.unionByName(geo)
-          prev = geo.select(col("id").as("pid"), col("width").as("pw"), col("x0").as("po"))
-          depth += 1
+                / sum("__v").over(byParent) * col("pw")).as("x0"))
         }
-      }
-      if (out == null) pf.df.sparkSession.emptyDataFrame else out
-    } finally base.unpersist()
+      // each layer is locally checkpointed: it feeds both the result union and the
+      // next layer's parent join, and the checkpoint TRUNCATES the logical plan, so
+      // layer d's plan doesn't nest layers lo..d-1 (a lazy 25-deep nested plan makes
+      // the optimizer itself the bottleneck — observed >> 10 min on the fixtures).
+      // One shallow job per layer, bounded by tree depth; on a real cluster swap for
+      // reliable checkpoint() if executor loss matters mid-computation.
+      val geo = layer.select(col("id"), lit(depth).as("depth"), col("x0"), col("width"),
+        col("procedure"),
+        (col("width") >= lit(math.Pi / (depth - lo + 32))).as("labeled"))
+        .localCheckpoint()
+      out = if (out == null) geo else out.unionByName(geo)
+      prev = geo.select(col("id").as("pid"), col("width").as("pw"), col("x0").as("po"))
+      depth += 1
+    }
+    if (out == null) { base.unpersist(); pf.df.sparkSession.emptyDataFrame } else out
   }
 
   /** Multi-profile merge (SURVEY B17): metric columns differ per file, so align by

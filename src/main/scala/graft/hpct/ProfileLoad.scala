@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import scala.jdk.CollectionConverters._
-
 /** Assembles a [[ProfileFrame]] from an HPCToolkit experiment XML: parsed rows ->
   * DataFrame with an explicit StructType -> finalize-formula projection -> root
   * fix-up -> ratio columns. The Spark analog of the reference constructor
@@ -38,7 +36,7 @@ object ProfileLoad {
     * column keys every per-file computation (root fix, ratios partition by it).
     */
   def loadMany(spark: SparkSession, paths: Seq[String], maxDepth: Option[Int] = None,
-      skipCallsites: Boolean = true): DataFrame = {
+      skipCallsites: Boolean = true): MultiProfileFrame = {
     val metas = paths.map(XmlReader.parseHeader)
     // union metric columns: first-appearance order across files
     val metricNames = metas.flatMap(_.metricNames).distinct
@@ -75,7 +73,14 @@ object ProfileLoad {
       done ++= meta.metricsFormulas.keys
       df = applyFormulas(df, fresh)
     }
-    rootFix(df)
+    // Root fix is row-local (a conditional column rewrite at id = -1), so it needs no
+    // db partitioning; the ratio columns DO — each file's rows divide by their own
+    // file's root / parent values, exactly as a single-file load would.
+    var out = rootFix(df)
+    val baseByDb: Seq[(String, String)] = paths.zip(metas).map { case (p, m) => p -> m.percentageColumn }
+    for (base <- baseByDb.map(_._2).distinct)
+      out = addRatioColumnsPerDb(out, base, baseByDb.collect { case (p, b) if b == base => p }.toSet)
+    MultiProfileFrame(out, paths.zip(metas).toMap)
   }
 
   // ------------------------------------------------------------------ pieces
@@ -95,13 +100,20 @@ object ProfileLoad {
     r.callpath.toSeq, r.modulePath, r.module, r.filePath, r.file, r.line, r.procedure,
     r.id, r.nodeType)
 
-  /** Raw (pre-formula) DataFrame: metric columns in ascending-id order, all double. */
+  /** Raw (pre-formula) DataFrame: metric columns in ascending-id order, all double.
+    * Built over an RDD, NOT a LocalRelation: `createDataFrame(list)` would let
+    * `ConvertToLocalRelation` evaluate the whole formula/ratio plan with interpreted
+    * projections on the driver (observed OOM on the exp1 fixture); the RDD path keeps
+    * execution in whole-stage codegen on executors — the same plan shape a many-file
+    * distributed load has.
+    */
   def rawFrame(spark: SparkSession, meta: ProfileMeta,
       rows: IndexedSeq[XmlReader.NodeRow]): DataFrame = {
     val schema = StructType(
       meta.metricNames.map(StructField(_, DoubleType, nullable = true)) ++ locationFields)
-    val data = rows.map(r => Row.fromSeq(r.metrics.toSeq ++ locationValues(r))).asJava
-    spark.createDataFrame(data, schema)
+    val data = rows.map(r => Row.fromSeq(r.metrics.toSeq ++ locationValues(r)))
+    val slices = math.min(math.max(1, rows.length / 2048), 32)
+    spark.createDataFrame(spark.sparkContext.parallelize(data, slices), schema)
   }
 
   /** One whole-stage-codegen'd projection replacing each derived metric with its
@@ -158,12 +170,40 @@ object ProfileLoad {
     val parents = df.select(col("callpath").as("__ppath"), col(base).as("__pval"))
     val joined = df
       .crossJoin(broadcast(rootRow))
-      .withColumn("__ppath", slice(col("callpath"), 1, greatest(size(col("callpath")) - 1, lit(0))))
+      .withColumn("__ppath", slice(col("callpath"), lit(1), greatest(size(col("callpath")) - 1, lit(0))))
       .join(parents, Seq("__ppath"), "left")
       .withColumn(totalName, col(base) / col("__root_total"))
       .withColumn(parentName, col(base) / col("__pval"))
       .drop("__root_total", "__pval", "__ppath")
     // reinsert in reference order: ..., base, parent, total, ...
+    val ordered = df.columns.flatMap {
+      case c if c == base => Seq(c, parentName, totalName)
+      case c => Seq(c)
+    }
+    joined.select(ordered.map(col).toSeq: _*)
+  }
+
+  /** Per-db variant of [[addRatioColumns]] for [[loadMany]]: the root scalar becomes a
+    * broadcast (db -> root value) join — one row per file — and the parent self-join
+    * keys on (db, parent path), so no cross-file contamination. `dbs` restricts the
+    * ratios to the files whose percentage base is `base`; other files' rows get null
+    * (their base column is null there anyway under the union schema).
+    */
+  def addRatioColumnsPerDb(df: DataFrame, base: String, dbs: Set[String]): DataFrame = {
+    val totalName = s"$base ratio of total"
+    val parentName = s"$base ratio of parent"
+    val inScope = col("db").isin(dbs.toSeq: _*)
+    val roots = df.filter(col("id") === Model.RootId && inScope)
+      .select(col("db"), col(base).as("__root_total"))
+    val parents = df.filter(inScope)
+      .select(col("db"), col("callpath").as("__ppath"), col(base).as("__pval"))
+    val joined = df
+      .join(broadcast(roots), Seq("db"), "left")
+      .withColumn("__ppath", slice(col("callpath"), lit(1), greatest(size(col("callpath")) - 1, lit(0))))
+      .join(parents, Seq("db", "__ppath"), "left")
+      .withColumn(totalName, col(base) / col("__root_total"))
+      .withColumn(parentName, col(base) / col("__pval"))
+      .drop("__root_total", "__pval", "__ppath")
     val ordered = df.columns.flatMap {
       case c if c == base => Seq(c, parentName, totalName)
       case c => Seq(c)
@@ -186,7 +226,7 @@ object ProfileLoad {
         explode(when(size(col("callpath")) > 0, sequence(lit(0), size(col("callpath")) - 1))
           .otherwise(array(lit(0)))))
       .select(col("__cid"), col("__cval"),
-        slice(col("callpath"), 1, col("__k")).as("__ppath"), col("__k"))
+        slice(col("callpath"), lit(1), col("__k")).as("__ppath"), col("__k"))
     val ancestors = df.select(col("callpath").as("__ppath"), col(base).as("__aval"))
     val chosen = prefixes.join(ancestors, Seq("__ppath"))
       .groupBy("__cid", "__cval")

@@ -67,6 +67,21 @@ object XmlReader {
     if (i < 0) p else p.substring(i + 1)
   }
 
+  /** pathlib-equivalent normalization: the reference stores module/file names as
+    * `pathlib.Path` (HD.py:40-43), whose str() drops `.` segments and duplicate
+    * slashes (`./src/x` -> `src/x`) while keeping `..` — the golden frames carry the
+    * normalized form.
+    */
+  private[hpct] def normalizePath(p: String): String = {
+    if (p == null || p.isEmpty) return p
+    val absolute = p.startsWith("/")
+    val parts = p.split("/").filter(s => s.nonEmpty && s != ".")
+    val joined = parts.mkString("/")
+    if (absolute) "/" + joined
+    else if (joined.isEmpty) "."
+    else joined
+  }
+
   /** Inheritable location state (reference `location` dict, ibid:246-247, 271-278). */
   private final case class Location(
       modulePath: String, module: String, filePath: String, file: String,
@@ -139,8 +154,8 @@ object XmlReader {
                   !formulas.contains(currentMetricName)) {
                   formulas(currentMetricName) = attr(r, "frm")
                 }
-              case "LoadModule" => modulesById(attr(r, "i").toInt) = attr(r, "n")
-              case "File"       => filesById(attr(r, "i").toInt) = attr(r, "n")
+              case "LoadModule" => modulesById(attr(r, "i").toInt) = normalizePath(attr(r, "n"))
+              case "File"       => filesById(attr(r, "i").toInt) = normalizePath(attr(r, "n"))
               case "Procedure"  => proceduresById(attr(r, "i").toInt) = attr(r, "n")
               case "SecCallPathProfileData" =>
                 if (headerOnly) return Parsed(buildMeta(), rows.toIndexedSeq)

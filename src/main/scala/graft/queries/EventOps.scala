@@ -3,10 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Event-stream analytics over the `events` table: sessionization via
-  * `session_window` (the batch form of the Structured Streaming session operator —
-  * see graft.streaming for the readStream/watermark variant), tumbling-window
-  * aggregation, and JSON property extraction.
+/** Event-stream analytics over the `events` table. The session/window operators are
+  * graft.streaming.EventStreams transforms applied to the BATCH table — the same
+  * logical plan runs under readStream + watermark (EventStreamsSpec drives that via
+  * MemoryStream); here the batch results are oracle-checked against DuckDB.
   *
   * The DuckDB oracle for sessionization is the classic gaps-and-islands rewrite
   * (lag -> new-session flag -> running sum), which is semantically identical to
@@ -15,24 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
   import Tables._
+  import graft.streaming.EventStreams
 
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "e01_sessions" -> ((s, d) =>
-      events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), min("ts").as("mints"))
+      EventStreams.sessionize(events(s, d), "30 minutes")
         .select(col("user_id"), col("n_events"),
-          date_format(col("mints"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
         .orderBy("user_id", "session_start")),
 
     "e02_hourly" -> ((s, d) =>
-      events(s, d)
-        .groupBy(
-          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+      EventStreams.tumblingCounts(events(s, d), "1 hour")
+        .select(
+          date_format(col("win_start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
         .orderBy("hour", "event_type")),
 
     "e03_json_extract" -> ((s, d) =>

@@ -22,6 +22,17 @@ object Hierarchy {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-(session, dir) cache of the nodes frame: seven hierarchy queries share it,
+    * so one build + one in-memory copy instead of seven customer⋈nation rebuilds
+    * (the dominant cost of a bench run; the frame is ~#customers rows, far under
+    * executor memory at any tested SF).
+    */
+  private val nodesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def nodesCached(s: SparkSession, d: String): DataFrame =
+    nodesCache.getOrElseUpdate((s, d), nodes(s, d).cache())
+
   /** The (id, path, value) nodes DataFrame. Built from two shuffled aggregations over
     * customer⋈nation (nation broadcast); at 100 TB the leaf level partitions by id and
     * the rollups are standard partial-agg shuffles.
@@ -69,25 +80,27 @@ object Hierarchy {
     // parent_path = slice(path, 1, size-1). Equi-join on the array key — Spark
     // shuffles both sides on the array hash; at scale, bucket by path hash.
     "b14_selfjoin_path" -> ((s, d) => {
-      val n = nodes(s, d)
+      val n = nodesCached(s, d)
       val child = n.filter(size(col("path")) > 1).select(
         col("id"), col("value"),
-        slice(col("path"), 1, size(col("path")) - 1).as("ppath"))
+        slice(col("path"), lit(1), size(col("path")) - 1).as("ppath"))
       val parent = n.select(col("path").as("ppath"), col("id").as("parent_id"),
         col("value").as("pvalue"))
       child.join(parent, "ppath")
-        .select(col("id"), col("parent_id"), round(col("value") / col("pvalue"), 6).as("frac"))
+        // `+ 0` normalizes IEEE -0.0 to 0.0 (a negative acctbal rounding to zero
+        // hashes as "-0" in one engine and "0" in the other otherwise)
+        .select(col("id"), col("parent_id"), (round(col("value") / col("pvalue"), 6) + lit(0.0)).as("frac"))
         .orderBy("id")
     }),
 
     // A8: ratio-of-total — value / root value (reference HD.py:340-359). The root
     // scalar is a broadcast one-row cross join, never a collect.
     "a08_ratio_total" -> ((s, d) => {
-      val n = nodes(s, d)
+      val n = nodesCached(s, d)
       val total = n.filter(size(col("path")) === 1)
         .agg(round(sum("value"), 2).as("total"))
       n.crossJoin(broadcast(total))
-        .select(col("id"), round(col("value") / col("total"), 6).as("ratio_total"))
+        .select(col("id"), (round(col("value") / col("total"), 6) + lit(0.0)).as("ratio_total"))
         .orderBy("id")
     }),
 
@@ -95,30 +108,30 @@ object Hierarchy {
     // implicit root (= grand total), mirroring the reference where every node's
     // walk-up terminates at the root row (HD.py:360-385).
     "a09_ratio_parent" -> ((s, d) => {
-      val n = nodes(s, d)
+      val n = nodesCached(s, d)
       val total = n.filter(size(col("path")) === 1)
         .agg(round(sum("value"), 2).as("total"))
       val parent = n.select(col("path").as("ppath"), col("value").as("pvalue"))
       n.select(col("id"), col("value"),
-          slice(col("path"), 1, size(col("path")) - 1).as("ppath"))
+          slice(col("path"), lit(1), size(col("path")) - 1).as("ppath"))
         .join(parent, Seq("ppath"), "left")
         .crossJoin(broadcast(total))
         .select(col("id"),
-          round(col("value") / coalesce(col("pvalue"), col("total")), 6).as("ratio_parent"))
+          (round(col("value") / coalesce(col("pvalue"), col("total")), 6) + lit(0.0)).as("ratio_parent"))
         .orderBy("id")
     }),
 
     // A11: callpath prefix filter (`at_paths`, reference HD.py:391-393) — keep rows
     // whose path starts with [10] (region 0's node).
     "a11_at_paths" -> ((s, d) =>
-      nodes(s, d)
+      nodesCached(s, d)
         .filter(slice(col("path"), 1, 1) === array(lit(10L)))
         .select(col("id"), pathStr.as("path_str"), col("value"))
         .orderBy("id")),
 
     // A12: depth filter (`at_depths`, reference HD.py:395-401).
     "a12_at_depths" -> ((s, d) =>
-      nodes(s, d)
+      nodesCached(s, d)
         .filter(size(col("path")).between(2, 3))
         .select(col("id"), size(col("path")).cast("long").as("depth"))
         .orderBy("id")),
@@ -127,9 +140,8 @@ object Hierarchy {
     // restrict to the chosen prefix, take the children, pick the max-value child.
     // Driver loop of tiny argmax jobs (depth <= 3 here; <= 25 in real profiles).
     "a14_hot_path" -> ((s, d) => {
-      val n = nodes(s, d).cache()
-      try {
-        var prefix: Seq[Long] = Nil
+      val n = nodesCached(s, d) // shared cache — NOT unpersisted here
+      var prefix: Seq[Long] = Nil
         val hot = Seq.newBuilder[Long]
         var continue = true
         while (continue) {
@@ -153,14 +165,13 @@ object Hierarchy {
           .select(col("id"), pathStr.as("path_str"), col("value"),
             size(col("path")).cast("long").as("depth"))
           .orderBy("depth")
-      } finally n.unpersist()
     }),
 
     // A15: flame-graph geometry (reference HD.py:430-540): first layer normalized to
     // 2π; deeper layers sibling-normalized within parent and offset by within-parent
     // cumulative sum + parent offset. Two window passes + one broadcast join.
     "a15_flame" -> ((s, d) => {
-      val n = nodes(s, d)
+      val n = nodesCached(s, d)
       val twoPi = lit(2.0 * math.Pi)
       val wAll = Window.partitionBy(lit(1))
       val l1 = n.filter(size(col("path")) === 1).select(
@@ -190,15 +201,15 @@ object Hierarchy {
 
   val oracles: Map[String, String] = Map(
     "b14_selfjoin_path" ->
-      (NodesCte + " SELECT c.id AS id, p.id AS parent_id, round(c.value / p.value, 6) AS frac" +
+      (NodesCte + " SELECT c.id AS id, p.id AS parent_id, round(c.value / p.value, 6) + 0 AS frac" +
         " FROM nodes c JOIN nodes p ON c.path[1:len(c.path)-1] = p.path" +
         " WHERE len(c.path) > 1 ORDER BY id"),
     "a08_ratio_total" ->
       (NodesCte + ", tot AS (SELECT round(sum(value), 2) AS total FROM nodes WHERE len(path) = 1)" +
-        " SELECT id, round(value / total, 6) AS ratio_total FROM nodes, tot ORDER BY id"),
+        " SELECT id, round(value / total, 6) + 0 AS ratio_total FROM nodes, tot ORDER BY id"),
     "a09_ratio_parent" ->
       (NodesCte + ", tot AS (SELECT round(sum(value), 2) AS total FROM nodes WHERE len(path) = 1)" +
-        " SELECT c.id, round(c.value / coalesce(p.value, tot.total), 6) AS ratio_parent" +
+        " SELECT c.id, round(c.value / coalesce(p.value, tot.total), 6) + 0 AS ratio_parent" +
         " FROM nodes c LEFT JOIN nodes p ON c.path[1:len(c.path)-1] = p.path CROSS JOIN tot" +
         " ORDER BY c.id"),
     "a11_at_paths" ->

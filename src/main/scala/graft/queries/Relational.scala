@@ -78,10 +78,12 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")),
 
     // B8: insert column at position (reference df.insert, HD.py:385) — withColumn +
-    // explicit select ordering.
+    // explicit select ordering. The product stays UNROUNDED: both engines compute the
+    // same IEEE multiply on the same inputs (bitwise-equal), whereas round(·, 2)
+    // lands differently on .xx5 boundaries (116/60k rows at sf0.01).
     "b08_insert_column" -> ((s, d) =>
       lineitem(s, d)
-        .withColumn("revenue", round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2))
+        .withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "revenue", "l_discount")
         .orderBy("l_orderkey", "l_linenumber")),
 
@@ -91,20 +93,36 @@ object Relational {
       orders(s, d)
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          round(col("o_totalprice") - lag("o_totalprice", 1)
-            .over(Window.partitionBy("o_custkey").orderBy("o_orderkey")), 2).as("delta"))
+          (col("o_totalprice") - lag("o_totalprice", 1)
+            .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))).as("delta"))
         .orderBy("o_custkey", "o_orderkey")),
 
-    // B10: slicing / every-kth-row sampling (reference compact[::200]). The global
-    // row_number is the pandas semantic being reproduced; at 100 TB use a keyed
-    // sample (hash(key) % k) instead — documented trade-off, parity first.
-    "b10_slice" -> ((s, d) =>
-      lineitem(s, d)
-        .select(
-          col("l_orderkey"), col("l_linenumber"),
-          row_number().over(Window.orderBy("l_orderkey", "l_linenumber")).cast("long").as("rn"))
+    // B10: slicing / every-kth-row sampling (reference compact[::200]), scale-safe:
+    // range-partition on the sort key, per-partition row_number (keyed window — no
+    // all-rows-in-one-partition exchange), then add cross-partition offsets computed
+    // by a window over the per-partition COUNTS (one row per partition, so that
+    // single-partition window is bounded by the partition count, not the data).
+    // The resulting rn is the exact global row number: range partitioning + in-
+    // partition ordering together realize the total order.
+    "b10_slice" -> ((s, d) => {
+      val keyed = lineitem(s, d)
+        .select("l_orderkey", "l_linenumber")
+        .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
+        .withColumn("__pid", spark_partition_id())
+      val offsets = keyed.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+        .withColumn("__off", coalesce(
+          sum("__cnt").over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("__pid", "__off")
+      keyed
+        .withColumn("__prn", row_number().over(
+          Window.partitionBy("__pid").orderBy("l_orderkey", "l_linenumber")))
+        .join(broadcast(offsets), "__pid")
+        .withColumn("rn", (col("__off") + col("__prn")).cast("long"))
         .filter(col("rn") % 200 === 1)
-        .orderBy("rn")),
+        .select("l_orderkey", "l_linenumber", "rn")
+        .orderBy("rn")
+    }),
 
     // B11: grouped aggregation (reference flame sibling sums, HD.py:495) — classic
     // partial-agg + shuffle-on-keys plan; map-side combine is automatic.
@@ -234,9 +252,9 @@ object Relational {
     "b07_case_expr" ->
       "SELECT l_orderkey, l_linenumber, CASE WHEN l_discount < 0.03 THEN 'low' WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "b08_insert_column" ->
-      "SELECT l_orderkey, l_linenumber, l_extendedprice, round(l_extendedprice * (1 - l_discount), 2) AS revenue, l_discount FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice, l_extendedprice * (1 - l_discount) AS revenue, l_discount FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "b09_lag" ->
-      "SELECT o_custkey, o_orderkey, o_totalprice, round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta FROM orders ORDER BY o_custkey, o_orderkey",
+      "SELECT o_custkey, o_orderkey, o_totalprice, o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS delta FROM orders ORDER BY o_custkey, o_orderkey",
     "b10_slice" ->
       "SELECT l_orderkey, l_linenumber, rn FROM (SELECT l_orderkey, l_linenumber, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn % 200 = 1 ORDER BY rn",
     "b11_groupby" ->

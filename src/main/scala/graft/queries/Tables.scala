@@ -17,7 +17,18 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = table(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame    = table(s, dir, "events")
+  /** `events.parquet` carries nanosecond timestamps, which Spark 4 rejects at scan
+    * time ([PARQUET_TYPE_ILLEGAL]). Read them as raw longs and truncate to
+    * microseconds with integer arithmetic — `ts div 1000` stays exact where
+    * `(ts / 1e9).cast("timestamp")` would round (2024 epoch-nanos ≈ 1.7e18 > 2^53).
+    * The conf is set here, not in the session builders, so every entry point
+    * (Verify, Bench, tests, driver smoke) reads the table identically.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 }

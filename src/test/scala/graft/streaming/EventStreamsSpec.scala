@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase.spark
+
+/** Drives the streaming variants through an actual micro-batch execution
+  * (MemoryStream source -> watermark -> session/tumbling aggregation -> memory sink)
+  * and checks the batch/stream symmetry: the streamed result equals the batch
+  * transform over the same rows.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    // user 1: two sessions (gap 40 > 30 min between m=10 and m=50)
+    (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(50), 3.0),
+    // user 2: one session
+    (2L, ts(5), 4.0), (2L, ts(20), 5.0))
+
+  test("sessionizeStream over MemoryStream equals batch sessionize") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val source = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionizeStream(source, gap = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .select("user_id", "n_events", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val batch = EventStreams.sessionize(rows.toDF("user_id", "ts", "value"), "30 minutes")
+        .select("user_id", "n_events", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(streamed === batch)
+      assert(streamed === Array((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 2L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("tumblingCountsStream aggregates into aligned hourly windows") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val source = mem.toDF().toDF("user_id", "ts", "value")
+      .withColumn("event_type", when(col("user_id") === 1, "click").otherwise("view"))
+    val q = EventStreams.tumblingCountsStream(source, width = "1 hour", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("hourly_out").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .select("win_start", "event_type", "n", "sv")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sorted
+      assert(got === Array(
+        ("2024-01-01 10:00:00.0", "click", 3L, 6.0),
+        ("2024-01-01 10:00:00.0", "view", 2L, 9.0)))
+    } finally q.stop()
+  }
+}
