@@ -16,6 +16,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: spin codegen/shuffle machinery on synthetic data so the first
+    // measured query doesn't absorb one-time session costs (no test data touched).
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1 << 16).select(col("id") % 7 as "k", col("id").cast("double") as "v")
+        .groupBy("k").agg(sum("v")).orderBy("k").count()
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
