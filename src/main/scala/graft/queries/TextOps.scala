@@ -59,6 +59,34 @@ object TextOps {
         transform(array_sort(collect_list(struct(col("j"), col("mh")))), x => x.getField("mh")))
         .cast("binary")).as("sig"))
 
+  /** 16-bit SimHash signatures: per token, a 16-bit hash from the leading md5 hex
+    * digits (computed with portable arithmetic — identical in DuckDB); per bit
+    * position, the ±1 vote sum over the token multiset; sign -> bit. All keyed
+    * aggregations: (doc, bit) then doc — shuffles stay even at any corpus size.
+    */
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+      .withColumn("v",
+        (expr("instr('0123456789abcdef', substr(h,1,1))") - 1) * 4096 +
+          (expr("instr('0123456789abcdef', substr(h,2,1))") - 1) * 256 +
+          (expr("instr('0123456789abcdef', substr(h,3,1))") - 1) * 16 +
+          (expr("instr('0123456789abcdef', substr(h,4,1))") - 1))
+      .select(col("doc_id"), col("v"), explode(sequence(lit(0), lit(15))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("shiftright(v, j) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .select(col("doc_id"), col("j"),
+        when(col("vote") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("b"))
+      .groupBy("doc_id")
+      .agg(sum("b").as("simhash"))
+
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def simhashCached(s: SparkSession, d: String): DataFrame =
+    simhashCache.getOrElseUpdate((s, d), simhash(s, d).cache())
+
   /** LSH candidate pairs: docs sharing any (band, sig) bucket, id_a < id_b. */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val b = bandsCached(s, d)
@@ -119,6 +147,39 @@ object TextOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // SimHash signatures (dedup family #3 after exact + MinHash-LSH).
+    "d06_simhash" -> ((s, d) =>
+      simhashCached(s, d).orderBy("doc_id")),
+
+    // SimHash near-dup pairs: band the 16 bits into 4 nibbles, bucket-join on any
+    // shared (band, nibble), then verify hamming distance <= 3 over the full
+    // signature (bit_count of xor). Candidate generation is a keyed equi-join —
+    // never all-pairs — exactly like the MinHash path.
+    "d07_simhash_neardup" -> ((s, d) => {
+      val sh = simhashCached(s, d)
+      def banded(idCol: String, sigCol: String) = sh
+        .select(col("doc_id").as(idCol), col("simhash").as(sigCol),
+          explode(sequence(lit(0), lit(3))).as("bi"))
+        .withColumn("nib", expr(s"shiftright($sigCol, bi * 4) & 15"))
+      banded("id_a", "sa").join(banded("id_b", "sb"), Seq("bi", "nib"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sa", "sb").distinct()
+        .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Token counting, whitespace + BPE-ish regex segmentation (letters runs, digit
+    // runs, single punctuation) — both pure codegen'd projections.
+    "t04_token_count" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
+
     // Text quality stats: char/token counts + stopword ratio (quality scoring).
     "t01_textstats" -> ((s, d) =>
       documents(s, d)
@@ -143,6 +204,20 @@ object TextOps {
       documents(s, d)
         .select(col("doc_id"),
           md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("binary")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Rolling-window fingerprint (winnowing family): slide an 8-char window over the
+    // text, hash each window, keep the minimum — robust to local edits, unlike the
+    // whole-document hash above. Window explode + keyed min: scales as a plain
+    // per-document aggregation.
+    "t05_rolling_fp" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(when(length(col("text")) >= 8, sequence(lit(1), length(col("text")) - 7))
+            .otherwise(array(lit(1)))).as("i"))
+        .select(col("doc_id"), md5(expr("substr(text, i, 8)").cast("binary")).as("w"))
+        .groupBy("doc_id")
+        .agg(min("w").as("fp"), countDistinct("w").cast("long").as("n_windows"))
         .orderBy("doc_id")),
 
     // Multimodal plumbing: opaque binary column + typed metadata extraction. The
@@ -171,7 +246,36 @@ object TextOps {
     ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
     "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
 
+  /** DuckDB CTE mirroring [[simhash]] (identical arithmetic; DuckDB spells xor as a
+    * function and Spark as `^`, the only divergence).
+    */
+  private val SimCte =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
+      "h AS (SELECT doc_id, " +
+      "(strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096 + " +
+      "(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256 + " +
+      "(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16 + " +
+      "(strpos('0123456789abcdef', substr(md5(t),4,1))-1) AS v FROM toks), " +
+      "bits AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
+      "THEN CAST(1 AS BIGINT) << j ELSE 0 END AS b " +
+      "FROM h CROSS JOIN (SELECT unnest(range(0,16)) AS j) GROUP BY doc_id, j), " +
+      "sim AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)"
+
   val oracles: Map[String, String] = Map(
+    "d06_simhash" ->
+      (SimCte + " SELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+    "d07_simhash_neardup" ->
+      (SimCte +
+        ", banded AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 4)) & 15 AS nib" +
+        "   FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS bi))" +
+        ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb" +
+        "   FROM banded a JOIN banded b ON a.bi = b.bi AND a.nib = b.nib AND a.doc_id < b.doc_id)" +
+        " SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand" +
+        " WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"),
+    "t04_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe " +
+        "FROM documents ORDER BY doc_id"),
     "d01_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups FROM documents GROUP BY md5(text) ORDER BY keep_id",
     "d02_dedup_rows" ->
@@ -203,6 +307,11 @@ object TextOps {
         "FROM documents) ORDER BY doc_id"),
     "t03_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp FROM documents ORDER BY doc_id",
+    "t05_rolling_fp" ->
+      ("SELECT doc_id, min(w) AS fp, CAST(count(DISTINCT w) AS BIGINT) AS n_windows FROM " +
+        "(SELECT doc_id, md5(substr(text, i, 8)) AS w FROM " +
+        "(SELECT doc_id, text, unnest(CASE WHEN length(text) >= 8 THEN range(1, length(text) - 6) ELSE [1] END) AS i " +
+        "FROM documents)) GROUP BY doc_id ORDER BY doc_id"),
     "m01_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, substr(text, 1, 4) AS head4, substr(md5(text), 1, 8) AS fp8 FROM documents ORDER BY doc_id",
   )

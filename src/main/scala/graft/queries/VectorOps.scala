@@ -52,6 +52,25 @@ object VectorOps {
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(5)
     }),
+
+    // Embedding-cosine near-dup (dedup family #5): sign-bucket LSH candidate pairs
+    // (same-bucket equi-join, id_a < id_b — never all-pairs), scored exactly, kept
+    // above a cosine threshold. The bucket is the shuffle key; at 100 TB it becomes
+    // the storage partition key so candidate scoring is partition-local.
+    "d08_embed_neardup" -> ((s, d) => {
+      val emb = embeddings(s, d).withColumn("bucket", signBucket(col("embedding")))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+      val dot = aggregate(
+        zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val na = aggregate(col("ea"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val nb = aggregate(col("eb"), lit(0.0), (acc, y) => acc + y.cast("double") * y.cast("double"))
+      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(dot / (sqrt(na) * sqrt(nb)), 5).as("cos"))
+        .filter(col("cos") >= 0.25)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   private val CosSql =
@@ -76,5 +95,17 @@ object VectorOps {
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
         "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
         s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5"),
+    "d08_embed_neardup" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+          .mkString("concat(", ", ", ")") + " AS bucket FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS ea, b2.embedding AS eb " +
+        "FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), " +
+        "z AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM p), " +
+        "s AS (SELECT id_a, id_b, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb " +
+        "FROM z GROUP BY id_a, id_b) " +
+        "SELECT id_a, id_b, cos FROM (SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 5) AS cos FROM s) " +
+        "WHERE cos >= 0.25 ORDER BY id_a, id_b"),
   )
 }
