@@ -76,8 +76,32 @@ object Model {
   * `HPCtoolkitDataFrame(pd.DataFrame)` subclass whose `_constructor` override keeps
   * metadata flowing through every derived frame (reference ibid:131-152). Every
   * operator on this wrapper returns a new [[ProfileFrame]] carrying the same meta.
+  *
+  * The reference's method surface is mirrored as instance methods (delegating to
+  * [[Ops]]), so `df.hot_path().compact` call chains translate one-to-one:
+  * `pf.hotPath().compact`. The underlying Spark `DataFrame` stays one field away
+  * for the full generic relational surface.
   */
-final case class ProfileFrame(df: DataFrame, meta: ProfileMeta)
+final case class ProfileFrame(df: DataFrame, meta: ProfileMeta) {
+  /** reference `at_paths(prefix=..., suffix=...)` (HD.py:391-393). */
+  def atPaths(prefix: Seq[Long] = Nil, suffix: Seq[Long] = Nil): ProfileFrame =
+    Ops.atPaths(this, prefix, suffix)
+  /** reference `at_depths(min, max)` (HD.py:395-398). */
+  def atDepths(minDepth: Option[Int] = None, maxDepth: Option[Int] = None): ProfileFrame =
+    Ops.atDepths(this, minDepth, maxDepth)
+  /** reference `at_depth(depth)` (HD.py:400-401). */
+  def atDepth(depth: Int): ProfileFrame = Ops.atDepth(this, depth)
+  /** reference `.compact` property (HD.py:387-389). */
+  def compact: ProfileFrame = Ops.compact(this)
+  /** reference `hot_path(callpath, threshold)` (HD.py:403-428). */
+  def hotPath(callpath: Seq[Long] = Nil, threshold: Double = 0.05,
+      baseColumn: Option[String] = None): ProfileFrame =
+    Ops.hotPath(this, callpath, threshold, baseColumn)
+  /** reference `flame_graph(...)` minus rendering (HD.py:430-540): the geometry. */
+  def flameGeometry(prefix: Seq[Long] = Nil, column: Option[String] = None,
+      minDepth: Option[Int] = None, maxDepth: Option[Int] = None): DataFrame =
+    Ops.flameGeometry(this, prefix, column, minDepth, maxDepth)
+}
 
 /** A multi-file load ([[ProfileLoad.loadMany]]): one merged table keyed by the `db`
   * column plus the per-file metadata. The reference has no merged abstraction (its

@@ -129,9 +129,9 @@ class ParitySpec extends AnyFunSuite {
 
   test("metadata propagates through hotPath and compact (reference T.py:40-45)") {
     assume(hasFixtures)
-    val hp = Ops.hotPath(pf1)
+    val hp = pf1.hotPath() // reference-style chained instance API
     assert(hp.meta === pf1.meta)
-    val cp = Ops.compact(hp)
+    val cp = hp.compact
     assert(cp.meta === pf1.meta)
     assert(cp.df.columns.toSeq ===
       Seq(pf1.meta.percentageColumn,
