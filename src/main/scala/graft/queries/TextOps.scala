@@ -47,24 +47,38 @@ object TextOps {
     * h_j(doc) = min over shingles of md5(j || '|' || shingle); band sig = md5 of the
     * band's hashes joined in j order.
     */
-  private def bands(s: SparkSession, d: String): DataFrame =
+  private def bands(s: SparkSession, d: String): DataFrame = {
+    // All 8 minhashes in ONE keyed aggregation (8 min columns over the shingle rows)
+    // instead of an 8x explode + two shuffles — identical values, one shuffle, no row
+    // blowup. Band signatures are then plain column arithmetic, stacked via a 4-element
+    // array explode (4x on ~#docs rows, not on shingle rows).
+    val mins = (0 to 7).map(j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("shingle")).cast("binary"))).as(s"mh$j"))
+    val sigs = (0 to 3).map(b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary")).as("sig")))
     shinglesCached(s, d)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("j"), col("shingle"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit("|"), col("shingle")).cast("binary")).as("h"))
-      .groupBy("doc_id", "j")
-      .agg(min("h").as("mh"))
-      .groupBy(col("doc_id"), floor(col("j") / 2).cast("long").as("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))), x => x.getField("mh")))
-        .cast("binary")).as("sig"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array(sigs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** 16-bit SimHash signatures: per token, a 16-bit hash from the leading md5 hex
     * digits (computed with portable arithmetic — identical in DuckDB); per bit
     * position, the ±1 vote sum over the token multiset; sign -> bit. All keyed
     * aggregations: (doc, bit) then doc — shuffles stay even at any corpus size.
     */
-  private def simhash(s: SparkSession, d: String): DataFrame =
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    // All 16 bit-votes in ONE keyed aggregation (16 sum columns over the token rows):
+    // one shuffle of map-side-combined partials, no 16x row explode. The hex-digit
+    // arithmetic lands in the aggregate's child projection, so md5 runs once per
+    // token regardless of how many sums reference `v`.
+    val votes = (0 to 15).map(j =>
+      sum(when(expr(s"shiftright(v, $j) & 1") === 1, 1).otherwise(-1)).as(s"vote$j"))
+    val sig = (0 to 15).map(j =>
+      when(col(s"vote$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
     documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
@@ -73,13 +87,10 @@ object TextOps {
           (expr("instr('0123456789abcdef', substr(h,2,1))") - 1) * 256 +
           (expr("instr('0123456789abcdef', substr(h,3,1))") - 1) * 16 +
           (expr("instr('0123456789abcdef', substr(h,4,1))") - 1))
-      .select(col("doc_id"), col("v"), explode(sequence(lit(0), lit(15))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("shiftright(v, j) & 1") === 1, 1).otherwise(-1)).as("vote"))
-      .select(col("doc_id"), col("j"),
-        when(col("vote") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("b"))
       .groupBy("doc_id")
-      .agg(sum("b").as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
 
   private val simhashCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
