@@ -16,12 +16,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: spin codegen/shuffle machinery on synthetic data so the first
-    // measured query doesn't absorb one-time session costs (no test data touched).
+    // Untimed warmup: spin codegen, shuffle, window, join, and parquet IO machinery
+    // on SYNTHETIC data so the first measured query doesn't absorb one-time session
+    // costs (JVM/classloading warmup only — no test data touched).
     locally {
       import org.apache.spark.sql.functions._
-      spark.range(1 << 16).select(col("id") % 7 as "k", col("id").cast("double") as "v")
-        .groupBy("k").agg(sum("v")).orderBy("k").count()
+      import org.apache.spark.sql.expressions.Window
+      val t = spark.range(1 << 16)
+        .select(col("id") % 97 as "k", col("id").cast("double") as "v")
+      t.groupBy("k").agg(sum("v")).orderBy("k").count()
+      t.withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("v"))).count()
+      val dim = spark.range(97).select(col("id").as("k"), (col("id") * 2).as("w"))
+      t.join(broadcast(dim), "k").count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warmup").toString
+      t.limit(1000).write.mode("overwrite").parquet(s"$tmp/w")
+      spark.read.parquet(s"$tmp/w").filter(col("k") > 3).count()
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
