@@ -89,6 +89,45 @@ object Ops {
     } finally simple.unpersist()
   }
 
+  /** One-shot hot path: the fully declarative formulation of [[hotPath]] — zero
+    * driver-side iteration, so it scales to any depth/width on a cluster.
+    *
+    * A node is on the greedy hot path iff EVERY prefix of its callpath (itself
+    * included) is (a) the rank-1 child of its sibling group (max value, min id on
+    * ties — pandas idxmax order) and (b) at or above the threshold. That is exactly
+    * the set the greedy descent visits, minus the below-threshold final child it
+    * rejects. Three keyed stages: a per-parent rank window, a prefix explode
+    * (O(depth) per node), and a count-matches aggregation — no collect, no loop.
+    */
+  def hotPathOneShot(pf: ProfileFrame, threshold: Double = 0.05,
+      baseColumn: Option[String] = None): ProfileFrame = {
+    val base = baseColumn.getOrElse(pf.meta.hotPathColumn)
+    require(pf.df.columns.contains(base), s"missing hot-path column $base")
+    val winners = pf.df
+      .filter(size(col("callpath")) > 0)
+      .withColumn("__parent", slice(col("callpath"), lit(1), size(col("callpath")) - 1))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__parent").orderBy(desc(s"`$base`"), asc("id"))))
+      .filter(col("__rk") === 1 && col(s"`$base`") >= threshold)
+      .select(col("callpath").as("__winner"))
+    val prefixes = pf.df
+      .select(col("id").as("__nid"), col("callpath"))
+      .withColumn("__k",
+        explode(when(size(col("callpath")) > 0, sequence(lit(1), size(col("callpath"))))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("__nid"), size(col("callpath")).as("__depth"),
+        slice(col("callpath"), lit(1), col("__k")).as("__winner"))
+    val hotIds = prefixes
+      .join(winners, "__winner")
+      .groupBy("__nid", "__depth")
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === col("__depth"))
+      .select(col("__nid"))
+    // the root (empty callpath, zero prefixes) is always on the path
+    pf.copy(df = pf.df.join(hotIds, pf.df("id") === hotIds("__nid"), "left_semi")
+      .unionByName(pf.df.filter(size(col("callpath")) === 0)))
+  }
+
   /** Flame-graph geometry (reference HD.py:430-540, minus matplotlib): one row per
     * node per layer with `(id, depth, x0, width, procedure, labeled)`. First layer is
     * normalized to 2π; each deeper layer is sibling-normalized within its parent and

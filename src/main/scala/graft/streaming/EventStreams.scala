@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming analytics over the `events` schema
   * (event_id, ts timestamp, user_id, event_type, value, props).
@@ -49,4 +50,61 @@ object EventStreams {
   def tumblingCountsStream(events: DataFrame, width: String = "1 hour",
       lateness: String = "10 minutes"): DataFrame =
     tumblingCounts(events.withWatermark("ts", lateness), width)
+
+  // ------------------------------------------------- custom-state sessionization
+
+  // not private: encoder-generated code instantiates these reflectively
+  final case class Ev(user_id: Long, tsMicros: Long, value: Double)
+  /** Open-session state carried between micro-batches per user. */
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      session_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the hand-rolled
+    * equivalent of [[sessionize]] for session logic `session_window` can't express
+    * (per-event predicates, value-dependent gaps, session caps). Semantics match
+    * session_window exactly: a new session starts iff the gap from the previous
+    * event is >= `gap`. Works on batch Datasets (each user's events arrive as one
+    * group; all sessions emit) and under Structured Streaming (the open session
+    * persists in GroupState between micro-batches; here NoTimeout for simplicity —
+    * a production stream would use EventTimeTimeout to flush idle sessions).
+    *
+    * At scale: state is per-user and partitioned by the groupByKey shuffle; each
+    * group's events are iterated once (sorted per group, bounded by per-user volume).
+    */
+  def sessionizeCustom(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, s"calendar-month gaps unsupported: $gap")
+    val gapMicros = iv.days * 86400000000L + iv.microseconds
+    val ds = events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"), col("value").cast("double"))
+      .as[Ev]
+    def emit(user: Long, st: SessionState): Session = Session(
+      user, st.n,
+      new java.sql.Timestamp(st.start / 1000), new java.sql.Timestamp(st.last / 1000),
+      st.sum)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, evs, state: GroupState[SessionState]) =>
+        val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.value))
+        val out = Seq.newBuilder[Session]
+        var st = state.getOption.orNull
+        for (e <- sorted) {
+          if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
+          else if (e.tsMicros - st.last >= gapMicros) {
+            out += emit(user, st)
+            st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
+          } else st = SessionState(st.start, e.tsMicros, st.n + 1, st.sum + e.value)
+        }
+        // batch: the group is complete, flush the open session; streaming keeps it
+        if (st != null) { out += emit(user, st); state.remove() }
+        out.result().iterator
+      }
+      .toDF()
+  }
 }

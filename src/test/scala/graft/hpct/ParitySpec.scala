@@ -118,6 +118,17 @@ class ParitySpec extends AnyFunSuite {
       2935, 2987, 3209, 3211, 3236).sorted)
   }
 
+  test("one-shot hot path equals the driver-loop hot path (both fixtures, two thresholds)") {
+    assume(hasFixtures)
+    for (pf <- Seq(pf1, pf2); th <- Seq(0.05, 0.01)) {
+      val loop = Ops.hotPath(pf, threshold = th).df
+        .select("id").collect().map(_.getLong(0)).sorted
+      val oneShot = Ops.hotPathOneShot(pf, threshold = th).df
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(oneShot === loop, s"${pf.meta.dbPath} th=$th")
+    }
+  }
+
   test("hot-path leaf is the reference's leaf") {
     assume(hasFixtures)
     val leaf = Ops.hotPath(pf1).df

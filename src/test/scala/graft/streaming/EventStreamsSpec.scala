@@ -42,6 +42,20 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state sessionizer (flatMapGroupsWithState) equals session_window on real data") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "n_events", "session_start", "session_end", "session_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, math.round(r.getDouble(4) * 100)))
+      .sorted
+    val builtin = canon(EventStreams.sessionize(events, "30 minutes"))
+    val custom = canon(EventStreams.sessionizeCustom(events, "30 minutes"))
+    assert(custom.length === builtin.length)
+    assert(custom === builtin)
+  }
+
   test("tumblingCountsStream aggregates into aligned hourly windows") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
