@@ -33,6 +33,15 @@ object EventOps {
           col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
         .orderBy("hour", "event_type")),
 
+    // Same sessions via the flatMapGroupsWithState custom-state operator — the
+    // hand-rolled path for session logic session_window can't express; checked
+    // against the identical gaps-and-islands oracle as e01.
+    "e04_sessions_custom" -> ((s, d) =>
+      EventStreams.sessionizeCustom(events(s, d), "30 minutes")
+        .select(col("user_id"), col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "session_start")),
+
     "e03_json_extract" -> ((s, d) =>
       events(s, d)
         .select(col("event_id"),
@@ -52,5 +61,10 @@ object EventOps {
         "ORDER BY hour, event_type"),
     "e03_json_extract" ->
       "SELECT event_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) AS k FROM events ORDER BY event_id",
+    "e04_sessions_custom" ->
+      ("WITH x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM events), " +
+        "y AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+        "SELECT user_id, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start " +
+        "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"),
   )
 }
