@@ -79,14 +79,12 @@ object TextOps {
     val sig = (0 to 15).map(j =>
       when(col(s"vote$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+    graft.functions.TokenHash16.register(s)
     documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-      .withColumn("h", md5(col("t").cast("binary")))
-      .withColumn("v",
-        (expr("instr('0123456789abcdef', substr(h,1,1))") - 1) * 4096 +
-          (expr("instr('0123456789abcdef', substr(h,2,1))") - 1) * 256 +
-          (expr("instr('0123456789abcdef', substr(h,3,1))") - 1) * 16 +
-          (expr("instr('0123456789abcdef', substr(h,4,1))") - 1))
+      // native codegen'd expression: first 16 bits of md5(token) straight from the
+      // digest bytes — value-identical to the oracle's hex-digit arithmetic
+      .withColumn("v", expr("token_hash16(t)"))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
