@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,46 +15,59 @@ object TokenHash {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  /** The first 16 bits of md5(utf8(s)) — EXACTLY the value the portable SQL spells as
-    * `(strpos(hex,1)-1)*4096 + ... + (strpos(hex,4)-1)` over `md5(s)`'s hex string
-    * (first four hex digits = first two digest bytes), so DuckDB oracles reproduce it
-    * verbatim while the JVM side skips the hex-string round trip entirely.
+  /** Bits [16*band, 16*band+16) of md5(utf8(s)) — EXACTLY the value the portable SQL
+    * spells as `(strpos(hex,4b+1)-1)*4096 + ... + (strpos(hex,4b+4)-1)` over `md5(s)`'s
+    * hex string (hex digits 4b+1..4b+4 = digest bytes 2b, 2b+1), so DuckDB oracles
+    * reproduce it verbatim while the JVM side skips the hex-string round trip entirely.
+    * Four bands (0..3) together form a 64-bit SimHash token hash without ever packing
+    * a sign-risky 64-bit integer.
     */
-  def hash16(s: UTF8String): Int = {
+  def hash16(s: UTF8String, band: Int): Int = {
     val d = md.get()
     d.reset()
     val bytes = d.digest(s.getBytes)
-    ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
+    ((bytes(2 * band) & 0xff) << 8) | (bytes(2 * band + 1) & 0xff)
   }
+
+  def hash16(s: UTF8String): Int = hash16(s, 0)
 }
 
 /** Native Catalyst expression (with codegen) for the SimHash token hash — the brief's
   * preferred extension point: a codegen'd `Expression` stays inside whole-stage
   * codegen where a Scala UDF would break the stage and pay serialization per row.
-  * Registered as the SQL function `token_hash16` via [[TokenHash16.register]].
+  * `token_hash16(s)` = bits 0..15 of md5(s); `token_hash16(s, band)` = 16-bit chunk
+  * `band` (0..3) of md5(s)'s leading 64 bits, the per-token basis of the 64-bit
+  * SimHash. Registered via [[TokenHash16.register]].
   */
-case class TokenHash16(child: Expression) extends UnaryExpression {
+case class TokenHash16(child: Expression, band: Expression) extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = band
   override def dataType: DataType = IntegerType
   override def prettyName: String = "token_hash16"
 
-  override def nullSafeEval(input: Any): Any =
-    TokenHash.hash16(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(input: Any, bandV: Any): Any =
+    TokenHash.hash16(input.asInstanceOf[UTF8String], bandV.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.hash16($c)")
+    defineCodeGen(ctx, ev, (c, b) => s"graft.functions.TokenHash.hash16($c, $b)")
 
-  override protected def withNewChildInternal(newChild: Expression): TokenHash16 =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenHash16 =
+    copy(child = newLeft, band = newRight)
 }
 
 object TokenHash16 {
-  /** Idempotently register `token_hash16(str)` in the session's function registry. */
+  def apply(child: Expression): TokenHash16 =
+    TokenHash16(child, org.apache.spark.sql.catalyst.expressions.Literal(0))
+
+  /** Idempotently register `token_hash16(str[, band])` in the session's registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_hash16"),
       new ExpressionInfo(classOf[TokenHash16].getName, "token_hash16"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1, "token_hash16 takes one argument")
-        TokenHash16(args.head)
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => TokenHash16(s)
+        case Seq(s, b) => TokenHash16(s, b)
+        case _ => throw new IllegalArgumentException("token_hash16 takes 1 or 2 arguments")
       })
 }

@@ -270,7 +270,7 @@ object Relational {
     "b17_union" ->
       "SELECT name, acctbal, segment FROM (SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer UNION ALL SELECT s_name AS name, s_acctbal AS acctbal, NULL AS segment FROM supplier) ORDER BY name",
     "b18_arrays" ->
-      "SELECT l_orderkey, len(lns) AS n_items, lns[1] AS first_ln, list_contains(lns, 3) AS has3, list_sum(pks) AS sum_pk, array_to_string(lns, ',') AS lns_str FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns, list_sort(list(l_partkey)) AS pks FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey",
+      "SELECT l_orderkey, len(lns) AS n_items, lns[1] AS first_ln, list_contains(lns, 3) AS has3, CAST(list_sum(pks) AS BIGINT) AS sum_pk, array_to_string(lns, ',') AS lns_str FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns, list_sort(list(l_partkey)) AS pks FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey",
     "b19_strings" ->
       "SELECT p_partkey, upper(split_part(p_name, ' ', 1)) AS first_word, regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num, length(p_name) AS name_len FROM part ORDER BY p_partkey",
     "b20_math" ->

@@ -64,30 +64,32 @@ object TextOps {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** 16-bit SimHash signatures: per token, a 16-bit hash from the leading md5 hex
-    * digits (computed with portable arithmetic — identical in DuckDB); per bit
-    * position, the ±1 vote sum over the token multiset; sign -> bit. All keyed
-    * aggregations: (doc, bit) then doc — shuffles stay even at any corpus size.
+  /** 64-bit SimHash signatures, carried as four 16-bit band columns `s0..s3` (never
+    * packed into one BIGINT: bit 63 would flip the sign in both Spark and DuckDB and
+    * poison comparisons). Per token, four 16-bit hashes from the leading md5 digest
+    * bytes (portable arithmetic — identical in DuckDB); per bit position, the ±1 vote
+    * sum over the token multiset; sign -> bit. One keyed aggregation: 64
+    * map-side-combined sums — shuffles stay even at any corpus size, and at 100 TB
+    * the 4×16-bit bands give 2^16 buckets per band (vs 16 for the old 16-bit/nibble
+    * scheme), so candidate generation stays ~linear instead of N²/64.
     */
   private def simhash(s: SparkSession, d: String): DataFrame = {
-    // All 16 bit-votes in ONE keyed aggregation (16 sum columns over the token rows):
-    // one shuffle of map-side-combined partials, no 16x row explode. The hex-digit
-    // arithmetic lands in the aggregate's child projection, so md5 runs once per
-    // token regardless of how many sums reference `v`.
-    val votes = (0 to 15).map(j =>
-      sum(when(expr(s"shiftright(v, $j) & 1") === 1, 1).otherwise(-1)).as(s"vote$j"))
-    val sig = (0 to 15).map(j =>
-      when(col(s"vote$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // All 64 bit-votes in ONE keyed aggregation (64 sum columns over the token rows):
+    // one shuffle of partials, no 64x row explode. The four token_hash16(t, b) calls
+    // land in the aggregate's child projection (native codegen'd expression — md5
+    // digest bytes straight to int, value-identical to the oracle's hex-digit math).
+    val votes = for (b <- 0 to 3; j <- 0 to 15) yield
+      sum(when(expr(s"shiftright(v$b, $j) & 1") === 1, 1).otherwise(-1)).as(s"vote_${b}_$j")
+    val bandSigs = (0 to 3).map(b =>
+      (0 to 15).map(j => when(col(s"vote_${b}_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"s$b"))
     graft.functions.TokenHash16.register(s)
     documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-      // native codegen'd expression: first 16 bits of md5(token) straight from the
-      // digest bytes — value-identical to the oracle's hex-digit arithmetic
-      .withColumn("v", expr("token_hash16(t)"))
+      .select(col("doc_id") +: (0 to 3).map(b => expr(s"token_hash16(t, $b)").as(s"v$b")): _*)
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id") +: bandSigs: _*)
   }
 
   private val simhashCache =
@@ -160,20 +162,26 @@ object TextOps {
     "d06_simhash" -> ((s, d) =>
       simhashCached(s, d).orderBy("doc_id")),
 
-    // SimHash near-dup pairs: band the 16 bits into 4 nibbles, bucket-join on any
-    // shared (band, nibble), then verify hamming distance <= 3 over the full
-    // signature (bit_count of xor). Candidate generation is a keyed equi-join —
-    // never all-pairs — exactly like the MinHash path.
+    // SimHash near-dup pairs: band the 64 bits into 4×16-bit bands, bucket-join on
+    // any shared (band_index, band_value), then verify hamming distance <= 3 over the
+    // full signature (sum of per-band bit_count of xor). Candidate generation is a
+    // keyed equi-join — never all-pairs — and 2^16 buckets per band keep the
+    // candidate count ~linear in corpus size (the old nibble scheme had 16 buckets
+    // per band -> N²/64 pairs).
     "d07_simhash_neardup" -> ((s, d) => {
       val sh = simhashCached(s, d)
-      def banded(idCol: String, sigCol: String) = sh
-        .select(col("doc_id").as(idCol), col("simhash").as(sigCol),
-          explode(sequence(lit(0), lit(3))).as("bi"))
-        .withColumn("nib", expr(s"shiftright($sigCol, bi * 4) & 15"))
-      banded("id_a", "sa").join(banded("id_b", "sb"), Seq("bi", "nib"))
+      def banded(p: String) = sh
+        .select(col("doc_id").as(s"id_$p") +:
+          (0 to 3).map(b => col(s"s$b").as(s"$p$b")) :+
+          explode(array((0 to 3).map(b =>
+            struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"): _*)
+        .select(col(s"id_$p") +: (0 to 3).map(b => col(s"$p$b")) :+
+          col("x.bi").as("bi") :+ col("x.bv").as("bv"): _*)
+      banded("a").join(banded("b"), Seq("bi", "bv"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sa", "sb").distinct()
-        .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+        .select("id_a", "id_b", "a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3").distinct()
+        .withColumn("hamming",
+          (0 to 3).map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("long"))
         .filter(col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
@@ -256,31 +264,45 @@ object TextOps {
     "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
 
   /** DuckDB CTE mirroring [[simhash]] (identical arithmetic; DuckDB spells xor as a
-    * function and Spark as `^`, the only divergence).
+    * function and Spark as `^`, the only divergence). The 64-bit signature is four
+    * 16-bit band values s0..s3 — same representation as the Spark side, so no 64-bit
+    * sign-bit hazards on either engine.
     */
   private val SimCte =
     "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
-      "h AS (SELECT doc_id, " +
-      "(strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096 + " +
-      "(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256 + " +
-      "(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16 + " +
-      "(strpos('0123456789abcdef', substr(md5(t),4,1))-1) AS v FROM toks), " +
-      "bits AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
-      "THEN CAST(1 AS BIGINT) << j ELSE 0 END AS b " +
-      "FROM h CROSS JOIN (SELECT unnest(range(0,16)) AS j) GROUP BY doc_id, j), " +
-      "sim AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)"
+      "hm AS (SELECT doc_id, md5(t) AS h FROM toks), " +
+      "hv AS (SELECT doc_id, b, " +
+      "(strpos('0123456789abcdef', substr(h, b*4+1, 1))-1)*4096 + " +
+      "(strpos('0123456789abcdef', substr(h, b*4+2, 1))-1)*256 + " +
+      "(strpos('0123456789abcdef', substr(h, b*4+3, 1))-1)*16 + " +
+      "(strpos('0123456789abcdef', substr(h, b*4+4, 1))-1) AS v " +
+      "FROM hm CROSS JOIN (SELECT unnest(range(0, 4)) AS b)), " +
+      "bits AS (SELECT doc_id, b, j, CASE WHEN sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
+      "THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bit " +
+      "FROM hv CROSS JOIN (SELECT unnest(range(0,16)) AS j) GROUP BY doc_id, b, j), " +
+      "sim AS (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN b = 0 THEN bit ELSE 0 END) AS BIGINT) AS s0, " +
+      "CAST(sum(CASE WHEN b = 1 THEN bit ELSE 0 END) AS BIGINT) AS s1, " +
+      "CAST(sum(CASE WHEN b = 2 THEN bit ELSE 0 END) AS BIGINT) AS s2, " +
+      "CAST(sum(CASE WHEN b = 3 THEN bit ELSE 0 END) AS BIGINT) AS s3 " +
+      "FROM bits GROUP BY doc_id)"
 
   val oracles: Map[String, String] = Map(
     "d06_simhash" ->
-      (SimCte + " SELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+      (SimCte + " SELECT doc_id, s0, s1, s2, s3 FROM sim ORDER BY doc_id"),
     "d07_simhash_neardup" ->
       (SimCte +
-        ", banded AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 4)) & 15 AS nib" +
+        ", banded AS (SELECT doc_id, s0, s1, s2, s3, bi," +
+        "   CASE bi WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS bv" +
         "   FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS bi))" +
-        ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb" +
-        "   FROM banded a JOIN banded b ON a.bi = b.bi AND a.nib = b.nib AND a.doc_id < b.doc_id)" +
-        " SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand" +
-        " WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"),
+        ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b," +
+        "   a.s0 AS a0, a.s1 AS a1, a.s2 AS a2, a.s3 AS a3," +
+        "   b.s0 AS b0, b.s1 AS b1, b.s2 AS b2, b.s3 AS b3" +
+        "   FROM banded a JOIN banded b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)" +
+        " SELECT id_a, id_b, CAST(bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) +" +
+        " bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) AS BIGINT) AS hamming FROM cand" +
+        " WHERE bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) +" +
+        " bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3 ORDER BY id_a, id_b"),
     "t04_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe " +

@@ -11,13 +11,14 @@ import graft.SparkTestBase.spark
 class TokenHash16Spec extends AnyFunSuite {
   import spark.implicits._
 
-  private def viaSql(tokens: Seq[String]): Seq[Int] = {
+  private def viaSql(tokens: Seq[String], band: Int = 0): Seq[Int] = {
+    val o = 4 * band
     val df = tokens.toDF("t")
       .withColumn("h", md5(col("t").cast("binary")))
-      .select(((expr("instr('0123456789abcdef', substr(h,1,1))") - 1) * 4096 +
-        (expr("instr('0123456789abcdef', substr(h,2,1))") - 1) * 256 +
-        (expr("instr('0123456789abcdef', substr(h,3,1))") - 1) * 16 +
-        (expr("instr('0123456789abcdef', substr(h,4,1))") - 1)).cast("int"))
+      .select(((expr(s"instr('0123456789abcdef', substr(h,${o + 1},1))") - 1) * 4096 +
+        (expr(s"instr('0123456789abcdef', substr(h,${o + 2},1))") - 1) * 256 +
+        (expr(s"instr('0123456789abcdef', substr(h,${o + 3},1))") - 1) * 16 +
+        (expr(s"instr('0123456789abcdef', substr(h,${o + 4},1))") - 1)).cast("int"))
     df.collect().map(_.getInt(0)).toSeq
   }
 
@@ -27,6 +28,17 @@ class TokenHash16Spec extends AnyFunSuite {
     val native = tokens.toDF("t").select(expr("token_hash16(t)")).collect().map(_.getInt(0)).toSeq
     assert(native === viaSql(tokens))
     assert(native.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("token_hash16(t, band) covers all four 16-bit chunks of the 64-bit hash") {
+    TokenHash16.register(spark)
+    val tokens = Seq("", "a", "hello", "ünïcode", "the quick brown fox", "123", "\t")
+    for (b <- 0 to 3) {
+      val native = tokens.toDF("t").select(expr(s"token_hash16(t, $b)"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(native === viaSql(tokens, b), s"band $b")
+      assert(native.forall(v => v >= 0 && v < 65536))
+    }
   }
 
   test("property: agreement on random strings (driver kernel vs SQL formulation)") {
