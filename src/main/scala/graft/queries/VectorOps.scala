@@ -1,40 +1,65 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`embedding: array<float>`).
   *
-  * Two paths, mirroring a production ANN stack:
+  * Three paths, mirroring a production ANN stack:
   *  - s01: brute-force cosine top-k — the exactness baseline. One broadcast of the
   *    query vector, one scan, one top-k sort; no shuffle of the embedding column.
-  *  - s02: LSH-bucketed ANN — sign-bit hyperplane bucketing (axis-aligned LSH): only
-  *    vectors in the query's bucket are scored. At 100 TB the bucket id becomes the
-  *    storage partition key, so the scan prunes to one bucket.
+  *  - s02: LSH-bucketed ANN — banded sign-bit hyperplane bucketing: only vectors
+  *    sharing one of the query's band buckets are scored. At 100 TB the band bucket
+  *    becomes the storage partition key, so the scan prunes to a handful of buckets.
+  *  - s03: IVF ANN — an inverted-file index with a coarse quantizer: every vector is
+  *    assigned to its nearest of K centroids (the inverted lists); a query probes
+  *    only its `nprobe` nearest centroids' lists. At 100 TB the centroid id is the
+  *    storage partition key and a probe prunes the scan to nprobe/K of the data.
   *
-  * Dot products use `zip_with` + `aggregate` (codegen'd, sequential fold — same
-  * accumulation order as the DuckDB oracle's positional unnest sum).
+  * Banding (OR-amplification): 2 bands × 12 sign bits (dims 1–12 and 13–24) give
+  * 2^12 buckets per band — within-bucket candidate pairs grow ~N²/4096 per band
+  * instead of the old single 8-bit bucket's N²/256, while matching on EITHER band
+  * keeps recall (a near-dup whose signs flip in one band still collides on the
+  * other). At larger corpus sizes widen `bandBits` — the join shape is unchanged.
+  *
+  * Dot products use the native codegen'd `vec_dot` expression
+  * (graft.functions.VecDot): a sequential multiply-add whose accumulation order is
+  * identical to the DuckDB oracle's positional unnest sum — and which stays inside
+  * whole-stage codegen, unlike the interpreted `zip_with` + `aggregate` lambdas it
+  * replaced (the round-3 bench's s01 cost).
   */
 object VectorOps {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def dotCos: Column = {
-    val dot = aggregate(
-      zip_with(col("embedding"), col("qe"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (a, v) => a + v)
-    val sa = aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))
-    val sq = aggregate(col("qe"), lit(0.0), (a, y) => a + y.cast("double") * y.cast("double"))
-    round(dot / (sqrt(sa) * sqrt(sq)), 5)
-  }
+  /** cos(embedding, qe), rounded to 5 dp (both oracle-side and here). */
+  private def dotCos: Column =
+    round(expr("vec_dot(embedding, qe)") /
+      (sqrt(expr("vec_dot(embedding, embedding)")) * sqrt(expr("vec_dot(qe, qe)"))), 5)
 
-  /** 8-bit sign bucket over the first 8 dims (deterministic axis-aligned LSH). */
-  private def signBucket(c: Column): Column =
-    concat((1 to 8).map(i => when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
+  private val bandBits = 12
+  private val nBands = 2
+
+  /** Sign bits of dims [lo+1, lo+bandBits] as a bucket string (deterministic
+    * axis-aligned hyperplane LSH, identical in DuckDB).
+    */
+  private def signBand(c: Column, lo: Int): Column =
+    concat((lo + 1 to lo + bandBits).map(i =>
+      when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
+
+  /** (vec_id, embedding, bi, bucket) — one row per vector per band. */
+  private def banded(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("bi"), signBand(col("embedding"), b * bandBits).as("bucket"))): _*)).as("x"))
+      .select(col("vec_id"), col("embedding"),
+        col("x.bi").as("bi"), col("x.bucket").as("bucket"))
 
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, d) => {
+      graft.functions.VecDot.register(s)
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       emb.crossJoin(broadcast(q))
@@ -43,30 +68,67 @@ object VectorOps {
         .limit(10)
     }),
 
+    // ANN: probe the query's 2 band buckets (broadcast 2-row build side), score the
+    // union of both buckets' members exactly, keep top-5.
     "s02_ann_bucket" -> ((s, d) => {
-      val emb = embeddings(s, d).withColumn("bucket", signBucket(col("embedding")))
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), col("bucket").as("qb"))
-      emb.join(broadcast(q), col("bucket") === col("qb"))
+      graft.functions.VecDot.register(s)
+      val bb = banded(embeddings(s, d))
+      val q = bb.filter(col("vec_id") === 0)
+        .select(col("bi"), col("bucket"), col("embedding").as("qe"))
+      bb.join(broadcast(q), Seq("bi", "bucket"))
+        .select(col("vec_id"), col("embedding"), col("qe")).distinct()
         .select(col("vec_id"), dotCos.as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(5)
     }),
 
-    // Embedding-cosine near-dup (dedup family #5): sign-bucket LSH candidate pairs
-    // (same-bucket equi-join, id_a < id_b — never all-pairs), scored exactly, kept
-    // above a cosine threshold. The bucket is the shuffle key; at 100 TB it becomes
-    // the storage partition key so candidate scoring is partition-local.
+    // IVF ANN: K=16 coarse centroids (pinned to vec_id 1..16 for determinism — a
+    // production build k-means-trains them offline; everything downstream is
+    // identical), one broadcast cross-score to build the inverted lists, nprobe=4
+    // probing. The assignment is the partition key at scale; probing prunes the
+    // candidate scan to the probed lists only.
+    "s03_ann_ivf" -> ((s, d) => {
+      graft.functions.VecDot.register(s)
+      val emb = embeddings(s, d)
+      val cent = emb.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      def cosOf(a: String, b: String): Column =
+        expr(s"vec_dot($a, $b)") /
+          (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
+      // inverted lists: nearest centroid per vector (16-row broadcast, rank-1 window)
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosOf("embedding", "ce"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val probed = cent.crossJoin(broadcast(q))
+        .withColumn("ccos", cosOf("ce", "qe"))
+        .orderBy(desc("ccos"), asc("cid")).limit(4)
+        .select("cid")
+      assigned.join(broadcast(probed), "cid")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosOf("embedding", "qe"), 5).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(5)
+    }),
+
+    // Embedding-cosine near-dup (dedup family #5): banded sign-LSH candidate pairs
+    // (same (band, bucket) equi-join, id_a < id_b — never all-pairs), scored exactly,
+    // kept above a cosine threshold. The (band, bucket) pair is the shuffle key; at
+    // 100 TB it becomes the storage partition key so candidate scoring is
+    // partition-local.
     "d08_embed_neardup" -> ((s, d) => {
-      val emb = embeddings(s, d).withColumn("bucket", signBucket(col("embedding")))
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
-      val dot = aggregate(
-        zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val na = aggregate(col("ea"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-      val nb = aggregate(col("eb"), lit(0.0), (acc, y) => acc + y.cast("double") * y.cast("double"))
-      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      graft.functions.VecDot.register(s)
+      val bb = banded(embeddings(s, d))
+      val a = bb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bi"), col("bucket"))
+      val b = bb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bi"), col("bucket"))
+      val dot = expr("vec_dot(ea, eb)")
+      val na = expr("vec_dot(ea, ea)")
+      val nb = expr("vec_dot(eb, eb)")
+      a.join(b, Seq("bi", "bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("ea"), col("eb")).distinct()
         .select(col("id_a"), col("id_b"), round(dot / (sqrt(na) * sqrt(nb)), 5).as("cos"))
         .filter(col("cos") >= 0.25)
         .orderBy("id_a", "id_b")
@@ -75,6 +137,15 @@ object VectorOps {
 
   private val CosSql =
     "round(dot / (sqrt(sa) * sqrt(sq)), 5)"
+
+  /** Banded view in DuckDB: one SELECT per band, mirroring [[banded]]. */
+  private def bandedSql: String =
+    (0 until nBands).map { b =>
+      val bits = (b * bandBits + 1 to (b + 1) * bandBits)
+        .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString("concat(", ", ", ")")
+      s"SELECT vec_id, embedding, $b AS bi, $bits AS bucket FROM embeddings"
+    }.mkString("bb AS (", " UNION ALL ", ")")
 
   val oracles: Map[String, String] = Map(
     "s01_cosine_topk" ->
@@ -85,22 +156,42 @@ object VectorOps {
         "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
         s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 10"),
     "s02_ann_bucket" ->
-      ("WITH b AS (SELECT vec_id, embedding, " +
-        (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
-          .mkString("concat(", ", ", ")") + " AS bucket FROM embeddings), " +
-        "q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0), " +
-        "c AS (SELECT b.vec_id, b.embedding, q.qe FROM b JOIN q ON b.bucket = q.qb), " +
+      (s"WITH $bandedSql, " +
+        "q AS (SELECT bi, bucket, embedding AS qe FROM bb WHERE vec_id = 0), " +
+        "c AS (SELECT DISTINCT b.vec_id, b.embedding, q.qe FROM bb b JOIN q ON b.bi = q.bi AND b.bucket = q.bucket), " +
         "z AS (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(c.qe) AS y FROM c), " +
+        "s AS (SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
+        "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0))) " +
+        s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5"),
+    "s03_ann_ivf" ->
+      ("WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 16), " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        // inverted lists: nearest centroid per vector
+        "az AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM embeddings e CROSS JOIN cent c), " +
+        "ascore AS (SELECT vec_id, cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sb " +
+        "FROM az GROUP BY vec_id, cid), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dot / (sqrt(sa) * sqrt(sb)) DESC, cid) AS rk FROM ascore) WHERE rk = 1), " +
+        // query probes its nprobe=4 nearest centroids
+        "pz AS (SELECT c.cid, unnest(c.ce) AS x, unnest(q.qe) AS y FROM cent c CROSS JOIN q), " +
+        "pscore AS (SELECT cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sb " +
+        "FROM pz GROUP BY cid), " +
+        "probe AS (SELECT cid FROM pscore ORDER BY dot / (sqrt(sa) * sqrt(sb)) DESC, cid LIMIT 4), " +
+        // exact-score only the probed lists
+        "cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid), " +
+        "z AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y " +
+        "FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id CROSS JOIN q), " +
         "s AS (SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
         "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
         s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5"),
     "d08_embed_neardup" ->
-      ("WITH b AS (SELECT vec_id, embedding, " +
-        (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
-          .mkString("concat(", ", ", ")") + " AS bucket FROM embeddings), " +
-        "p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS ea, b2.embedding AS eb " +
-        "FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), " +
+      (s"WITH $bandedSql, " +
+        "p AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS ea, b2.embedding AS eb " +
+        "FROM bb a JOIN bb b2 ON a.bi = b2.bi AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id), " +
         "z AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM p), " +
         "s AS (SELECT id_a, id_b, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb " +
