@@ -11,10 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - graft.queries.VectorOps  — similarity search (s01, s02)
   *  - graft.queries.EventOps   — sessionization / windows / json (e01..e03)
   *  - graft.queries.MediaOps   — multimodal decode/resize/frame-sample (m02..m04)
-  * Every key except the MediaOps stub-decode family has a DuckDB oracle in
-  * `oracleSql` with identical column names and a pinned ORDER BY, per the driver's
-  * hash-compare contract (MediaOps is rows-only by design: stub decode is FNV-1a
-  * over bytes, not expressible in DuckDB SQL).
+  * Every key has a DuckDB oracle in `oracleSql` with identical column names and a
+  * pinned ORDER BY, per the driver's hash-compare contract (the MediaOps stub decode
+  * is md5-based precisely so its outputs are SQL-expressible).
   */
 object SparkEntry {
 

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * operator — the Scala analog of `mapInPandas`: one iterator of rows in, one out,
   * no per-row JVM/interpreter crossings, executor-parallel by partition.
   *
-  * The actual codecs are NOT in this container, so `decodeStub` is a clearly-marked
+  * The actual codecs are NOT in this container, so `fakeDecode` is a clearly-marked
   * DETERMINISTIC FAKE (pure function of the bytes) standing in for e.g. libjpeg: the
   * schema contract, batch shape, partitioning, and null handling — the parts that
   * must survive a 100 TB run — are real and tested; swap `fakeDecode` for a real
-  * codec binding and nothing else changes.
+  * codec binding and nothing else changes. The fake derives its outputs from
+  * md5(payload) with portable hex arithmetic, so DuckDB oracles reproduce every
+  * value exactly (same contract trick as `token_hash16`).
   *
   * At scale: payload bytes dominate, so operators never shuffle the binary column —
   * decode/resize/sample are narrow (partition-local) transformations; only the
@@ -30,20 +32,30 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_frames", IntegerType, nullable = true),
-    StructField("fingerprint", LongType, nullable = false)))
+    StructField("fingerprint", StringType, nullable = false)))
+
+  private val md5TL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   /** STUB — deterministic fake decode. A real build links an image/audio codec here;
-    * this fake derives plausible dimensions from the payload bytes only, so tests and
-    * oracles can reproduce it exactly (FNV-1a over the bytes; dims from the hash).
+    * this fake derives plausible dimensions from md5(payload) only, so tests and
+    * DuckDB oracles reproduce it exactly: with `h` = md5 hex string and
+    * `v(k)` = hex digits [k, k+3] as a 16-bit int (digest bytes 2⌊k/4⌋, 2⌊k/4⌋+1),
+    * width = 16 + v(1) % 1024, height = 16 + v(5) % 1024,
+    * n_frames = 1 + v(9) % 240, fingerprint = substr(h, 1, 16).
     */
-  private[multimodal] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
-    var h = 0xcbf29ce484222325L // FNV-1a 64
-    var i = 0
-    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
-    val w = 16 + (java.lang.Long.remainderUnsigned(h, 1024L)).toInt
-    val ht = 16 + (java.lang.Long.remainderUnsigned(h >>> 17, 1024L)).toInt
-    val frames = 1 + (java.lang.Long.remainderUnsigned(h >>> 34, 240L)).toInt
-    (w, ht, frames, h)
+  private[multimodal] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val d = md5TL.get()
+    d.reset()
+    val h = d.digest(bytes)
+    def v(i: Int) = ((h(i) & 0xff) << 8) | (h(i + 1) & 0xff)
+    val w = 16 + v(0) % 1024
+    val ht = 16 + v(2) % 1024
+    val frames = 1 + v(4) % 240
+    val fp = h.take(8).map(b => f"${b & 0xff}%02x").mkString
+    (w, ht, frames, fp)
   }
 
   /** Decode a media table `(media_id long, mime string, payload binary)` into

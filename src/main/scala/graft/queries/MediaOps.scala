@@ -6,9 +6,10 @@ import graft.multimodal.Multimodal
 
 /** Multimodal pipeline queries: the documents table's text bytes stand in for media
   * payloads (no codec libs in the container — Multimodal.decode is a deterministic
-  * stub over real partition-local plumbing). The decode step is not expressible in
-  * DuckDB SQL (FNV-1a over bytes), so these queries have NO oracleSql entry — the
-  * driver records the weaker rows-only check, by design.
+  * stub over real partition-local plumbing). The stub derives every output from
+  * md5(payload) with portable hex arithmetic, so all three queries are fully
+  * oracle-checked in DuckDB — swapping in a real codec later changes only the
+  * kernel, not the plumbing or the checks.
   */
 object MediaOps {
   import Tables._
@@ -22,7 +23,7 @@ object MediaOps {
     // Decode: binary payload -> typed metadata; payload dropped before any shuffle.
     "m02_media_decode" -> ((s, d) =>
       decoded(s, d)
-        .select("media_id", "mime", "n_bytes", "width", "height", "n_frames")
+        .select("media_id", "mime", "n_bytes", "width", "height", "n_frames", "fingerprint")
         .orderBy("media_id")),
 
     // Resize planning over decoded dims: pure codegen arithmetic, no payload access.
@@ -36,6 +37,38 @@ object MediaOps {
         .orderBy("media_id", "frame_idx")),
   )
 
-  /** Not SQL-expressible (stub decode is FNV-1a over payload bytes) — no oracles. */
-  val oracles: Map[String, String] = Map.empty
+  /** Hex digits [o, o+3] of md5 hex string `h` as a 16-bit int (mirrors
+    * Multimodal.fakeDecode's digest-byte arithmetic).
+    */
+  private def hexv(o: Int): String =
+    s"((strpos('0123456789abcdef', substr(h,$o,1))-1)*4096 + " +
+      s"(strpos('0123456789abcdef', substr(h,${o + 1},1))-1)*256 + " +
+      s"(strpos('0123456789abcdef', substr(h,${o + 2},1))-1)*16 + " +
+      s"(strpos('0123456789abcdef', substr(h,${o + 3},1))-1))"
+
+  /** DuckDB CTE mirroring [[Multimodal.fakeDecode]] over the documents payload. */
+  private val DecCte =
+    "WITH raw AS (SELECT doc_id AS media_id, 'text/plain' AS mime, " +
+      "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS h FROM documents), " +
+      "dec AS (SELECT media_id, mime, n_bytes, " +
+      s"CAST(16 + (${hexv(1)} % 1024) AS INTEGER) AS width, " +
+      s"CAST(16 + (${hexv(5)} % 1024) AS INTEGER) AS height, " +
+      s"CAST(1 + (${hexv(9)} % 240) AS INTEGER) AS n_frames, " +
+      "substr(h, 1, 16) AS fingerprint FROM raw)"
+
+  val oracles: Map[String, String] = Map(
+    "m02_media_decode" ->
+      (DecCte + " SELECT media_id, mime, n_bytes, width, height, n_frames, fingerprint " +
+        "FROM dec ORDER BY media_id"),
+    "m03_resize_plan" ->
+      (DecCte + ", rp AS (SELECT media_id, width, height, " +
+        "least(1.0, 256.0 / greatest(CAST(width AS DOUBLE), CAST(height AS DOUBLE))) AS scale FROM dec) " +
+        "SELECT media_id, width, height, " +
+        "CAST(round(width * scale) AS INTEGER) AS out_width, " +
+        "CAST(round(height * scale) AS INTEGER) AS out_height " +
+        "FROM rp ORDER BY media_id"),
+    "m04_frame_sample" ->
+      (DecCte + " SELECT media_id, unnest(range(0, least(n_frames - 1, 70) + 1, 10)) AS frame_idx " +
+        "FROM dec ORDER BY media_id, frame_idx"),
+  )
 }

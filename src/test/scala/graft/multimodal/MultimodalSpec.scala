@@ -25,7 +25,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(!_.anyNull))
     assert(rows(0).getAs[Long]("n_bytes") === 11L)
     // determinism: identical payloads -> identical decode output
-    assert(rows(0).getAs[Long]("fingerprint") === rows(2).getAs[Long]("fingerprint"))
+    assert(rows(0).getAs[String]("fingerprint") === rows(2).getAs[String]("fingerprint"))
     assert(rows(0).getAs[Int]("width") === rows(2).getAs[Int]("width"))
     // dims in the stub's documented range
     assert(rows.forall { r =>
