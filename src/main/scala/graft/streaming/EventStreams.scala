@@ -65,13 +65,24 @@ object EventStreams {
     * equivalent of [[sessionize]] for session logic `session_window` can't express
     * (per-event predicates, value-dependent gaps, session caps). Semantics match
     * session_window exactly: a new session starts iff the gap from the previous
-    * event is >= `gap`. Works on batch Datasets (each user's events arrive as one
-    * group; all sessions emit) and under Structured Streaming (the open session
-    * persists in GroupState between micro-batches; here NoTimeout for simplicity —
-    * a production stream would use EventTimeTimeout to flush idle sessions).
+    * event is >= `gap`.
     *
-    * At scale: state is per-user and partitioned by the groupByKey shuffle; each
-    * group's events are iterated once (sorted per group, bounded by per-user volume).
+    * Batch (`events.isStreaming == false`): each user's events arrive as one group;
+    * every session — including the trailing open one — is emitted, and no state
+    * survives (batch state is always transient anyway).
+    *
+    * Streaming: the open session persists in GroupState between micro-batches and is
+    * flushed ONLY by EventTimeTimeout, when the watermark passes
+    * `session_end + gap` — the exact instant session_window would close it. Callers
+    * must set `.withWatermark` upstream ([[sessionizeCustomStream]] does). A session
+    * spanning micro-batches is therefore emitted once, complete — never as split
+    * partials.
+    *
+    * At scale: state is per-user and partitioned by the groupByKey shuffle. The
+    * per-invocation `sortBy` buffers one user's events for one micro-batch (batch
+    * mode: one user's whole history) — bounded by per-user volume, the same bound
+    * session_window's merging state carries; a hot key beyond memory needs a
+    * pre-split (e.g. salt by day) in either formulation.
     */
   def sessionizeCustom(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
     val spark = events.sparkSession
@@ -80,31 +91,58 @@ object EventStreams {
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
     require(iv.months == 0, s"calendar-month gaps unsupported: $gap")
     val gapMicros = iv.days * 86400000000L + iv.microseconds
+    val streaming = events.isStreaming
+    // the watermarked `ts` attribute must SURVIVE the projection: EventTimeTimeout
+    // requires a watermark-tagged column in the stateful operator's child (projecting
+    // it away fails analysis with "Event-time timeout not supported without
+    // watermark"), and as[Ev] binds by name, ignoring the extra column
     val ds = events
       .select(col("user_id").cast("long"),
-        unix_micros(col("ts")).as("tsMicros"), col("value").cast("double"))
+        unix_micros(col("ts")).as("tsMicros"), col("value").cast("double"), col("ts"))
       .as[Ev]
-    def emit(user: Long, st: SessionState): Session = Session(
-      user, st.n,
-      new java.sql.Timestamp(st.start / 1000), new java.sql.Timestamp(st.last / 1000),
-      st.sum)
+    def toTs(us: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000))
+    def emit(user: Long, st: SessionState): Session =
+      Session(user, st.n, toTs(st.start), toTs(st.last), st.sum)
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, evs, state: GroupState[SessionState]) =>
-        val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.value))
-        val out = Seq.newBuilder[Session]
-        var st = state.getOption.orNull
-        for (e <- sorted) {
-          if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
-          else if (e.tsMicros - st.last >= gapMicros) {
-            out += emit(user, st)
-            st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
-          } else st = SessionState(st.start, e.tsMicros, st.n + 1, st.sum + e.value)
+        OutputMode.Append, timeoutConf) { (user, evs, state: GroupState[SessionState]) =>
+        if (streaming && state.hasTimedOut) {
+          // watermark passed session_end + gap: the open session can no longer grow
+          val done = emit(user, state.get)
+          state.remove()
+          Iterator.single(done)
+        } else {
+          val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.value))
+          val out = Seq.newBuilder[Session]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
+            else if (e.tsMicros - st.last >= gapMicros) {
+              out += emit(user, st)
+              st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
+            } else st = SessionState(st.start, e.tsMicros, st.n + 1, st.sum + e.value)
+          }
+          if (st != null) {
+            if (streaming) {
+              // keep the open session; flush when the watermark passes last + gap
+              state.update(st)
+              state.setTimeoutTimestamp(st.last / 1000 + gapMicros / 1000)
+            } else out += emit(user, st) // batch: the group is complete
+          }
+          out.result().iterator
         }
-        // batch: the group is complete, flush the open session; streaming keeps it
-        if (st != null) { out += emit(user, st); state.remove() }
-        out.result().iterator
       }
       .toDF()
   }
+
+  /** Watermarked streaming variant of [[sessionizeCustom]]: the watermark both
+    * bounds state and drives the EventTimeTimeout that flushes idle open sessions.
+    */
+  def sessionizeCustomStream(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    sessionizeCustom(events.withWatermark("ts", lateness), gap)
 }

@@ -56,6 +56,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(custom === builtin)
   }
 
+  test("custom-state sessionizer withholds the open session across micro-batches " +
+      "and flushes it via event-time timeout") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val source = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionizeCustomStream(source, gap = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("custom_sess_out").outputMode("append").start()
+    try {
+      def emitted() = spark.table("custom_sess_out")
+        .select("user_id", "n_events", "session_start", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._3.getTime))
+      // batch 1: an open session for user 1 — must NOT be emitted yet
+      mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "open session leaked out of batch 1")
+      // batch 2: a user-1 event 50 min later closes session 1 by the gap rule; the
+      // new session (one event at m=50) stays open
+      mem.addData((1L, ts(50), 3.0))
+      q.processAllAvailable()
+      assert(emitted() === Array((1L, 2L, ts(0), 3.0)))
+      // batch 3: an unrelated user's much-later event advances the watermark past
+      // m=50 + gap + lateness, so the timeout flushes user 1's open session
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+      assert(emitted() === Array((1L, 2L, ts(0), 3.0), (1L, 1L, ts(50), 3.0)))
+    } finally q.stop()
+  }
+
   test("tumblingCountsStream aggregates into aligned hourly windows") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
