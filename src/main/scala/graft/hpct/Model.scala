@@ -101,6 +101,12 @@ final case class ProfileFrame(df: DataFrame, meta: ProfileMeta) {
   def flameGeometry(prefix: Seq[Long] = Nil, column: Option[String] = None,
       minDepth: Option[Int] = None, maxDepth: Option[Int] = None): DataFrame =
     Ops.flameGeometry(this, prefix, column, minDepth, maxDepth)
+  /** reference `add_ratio_column(base, name, method)` (HD.py:340-385): add a
+    * ratio-of-total or (walk-up) ratio-of-parent column for ANY double metric.
+    */
+  def addRatioColumn(base: String, method: String = "total",
+      name: Option[String] = None): ProfileFrame =
+    copy(df = ProfileLoad.addRatioColumn(df, base, method, name))
 }
 
 /** A multi-file load ([[ProfileLoad.loadMany]]): one merged table keyed by the `db`

@@ -53,10 +53,25 @@ object Ops {
     * one until there are no children or the child's value drops below `threshold`
     * (that child is excluded). Returns the rows whose callpath is on the hot path.
     *
-    * A driver loop of tiny argmax jobs (one per depth, bounded by tree depth <= 25 in
-    * the fixtures); each job is a filter + top-1 sort over a cached 2-column frame.
+    * The root-start case (no `callpath`) routes through [[hotPathOneShot]] — one
+    * declarative plan instead of one argmax job per depth (the per-job overhead
+    * dominated the fixture-scale workload at ~25 tiny jobs per call, the only >2×
+    * like-for-like gap vs the reference). The two formulations are proven equal on
+    * both fixtures at two thresholds by ParitySpec. An explicit starting `callpath`
+    * keeps the driver loop ([[hotPathIterative]]), which handles the prefix restart.
     */
   def hotPath(pf: ProfileFrame, callpath: Seq[Long] = Nil, threshold: Double = 0.05,
+      baseColumn: Option[String] = None): ProfileFrame =
+    if (callpath.isEmpty) hotPathOneShot(pf, threshold, baseColumn)
+    else hotPathIterative(pf, callpath, threshold, baseColumn)
+
+  /** The driver-loop hot path: one tiny argmax job per depth (bounded by tree depth
+    * <= 25 in the fixtures); each job is a filter + top-1 sort over a cached
+    * 2-column frame. Kept as the reference-shaped formulation (it also supports a
+    * non-root starting callpath) and as the equivalence baseline for
+    * [[hotPathOneShot]] in ParitySpec.
+    */
+  def hotPathIterative(pf: ProfileFrame, callpath: Seq[Long] = Nil, threshold: Double = 0.05,
       baseColumn: Option[String] = None): ProfileFrame = {
     val base = baseColumn.getOrElse(pf.meta.hotPathColumn)
     require(pf.df.columns.contains(base), s"missing hot-path column $base")
@@ -153,14 +168,16 @@ object Ops {
     var depth = lo
     var prev: DataFrame = null // (pid, pw, po)
     var out: DataFrame = null
-    while (depth <= hi) {
+    try while (depth <= hi) {
       val layerBase = base.filter(size(col("callpath")) === depth)
       val layer =
         if (prev == null) {
           // depth-lo siblings form ONE normalization group by construction (the full
           // circle), so the single-partition window is the semantics, not a bottleneck
-          // — its input is one tree level, not the dataset.
-          val w = Window.partitionBy(lit(1))
+          // — its input is one tree level, not the dataset. The key is id*0, not a
+          // literal: EliminateWindowPartitions folds literals away and the resulting
+          // unpartitioned WindowExec WARN would drown real regressions in the logs.
+          val w = Window.partitionBy(col("id") * 0)
           layerBase.select(col("id"), col("procedure"),
             (col("__v") / sum("__v").over(w) * twoPi).as("width"),
             (coalesce(sum("__v").over(w.orderBy("id")
@@ -190,8 +207,10 @@ object Ops {
       out = if (out == null) geo else out.unionByName(geo)
       prev = geo.select(col("id").as("pid"), col("width").as("pw"), col("x0").as("po"))
       depth += 1
-    }
-    if (out == null) { base.unpersist(); pf.df.sparkSession.emptyDataFrame } else out
+    // every layer is localCheckpoint'ed (materialized), so the cached base is safe
+    // to drop here — without this the cache leaked once per call (round-3 ADVICE)
+    } finally base.unpersist()
+    if (out == null) pf.df.sparkSession.emptyDataFrame else out
   }
 
   /** Multi-profile merge (SURVEY B17): metric columns differ per file, so align by

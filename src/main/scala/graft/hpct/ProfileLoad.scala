@@ -211,6 +211,53 @@ object ProfileLoad {
     joined.select(ordered.map(col).toSeq: _*)
   }
 
+  /** Public single-ratio column (reference `add_ratio_column`, HD.py:340-385): add
+    * `base / root_value` (`method = "total"`) or `base / ancestor_value`
+    * (`method = "parent"`) for ANY double metric column, inserted immediately after
+    * `base` (the reference's `insert(idx+1, ...)`, HD.py:354, 385). The load-time
+    * percentage columns use the same machinery for the auto-resolved base; this is
+    * the user-facing form for analyzing any other metric.
+    *
+    * `method = "parent"` carries the reference's exact walk-up semantics (divisor =
+    * deepest proper ancestor whose value >= the node's own; root maps to itself) —
+    * for an arbitrary user metric (e.g. an exclusive one) a parent can be smaller
+    * than its child, where the walk-up and the direct parent genuinely differ.
+    * `method = "parent_direct"` is the plain parent self-join — fixture-proven equal
+    * for inclusive metrics and one join cheaper.
+    */
+  def addRatioColumn(df: DataFrame, base: String, method: String = "total",
+      name: Option[String] = None): DataFrame = {
+    require(df.columns.contains(base), s"missing base column $base")
+    require(df.schema(base).dataType == DoubleType,
+      s"ratio base must be a double metric column, got ${df.schema(base).dataType} " +
+        "(complex struct metrics are out of ratio scope, SURVEY §7.4.1)")
+    val colName = name.getOrElse(s"$base ratio of ${method.stripSuffix("_direct")}")
+    val withCol = method match {
+      case "total" =>
+        val rootRow = df.filter(col("id") === Model.RootId).select(col(base).as("__root_total"))
+        df.crossJoin(broadcast(rootRow))
+          .withColumn(colName, col(base) / col("__root_total"))
+          .drop("__root_total")
+      case "parent" =>
+        exactParentRatio(df, base)
+          .withColumnRenamed(s"$base ratio of parent (exact)", colName)
+      case "parent_direct" =>
+        val parents = df.select(col("callpath").as("__ppath"), col(base).as("__pval"))
+        df.withColumn("__ppath",
+            slice(col("callpath"), lit(1), greatest(size(col("callpath")) - 1, lit(0))))
+          .join(parents, Seq("__ppath"), "left")
+          .withColumn(colName, col(base) / col("__pval"))
+          .drop("__pval", "__ppath")
+      case other => throw new IllegalArgumentException(
+        s"unknown ratio method '$other' (total | parent | parent_direct)")
+    }
+    val ordered = df.columns.flatMap {
+      case c if c == base => Seq(c, colName)
+      case c => Seq(c)
+    }
+    withCol.select(ordered.map(col).toSeq: _*)
+  }
+
   /** Exact walk-up ratio-of-parent (reference HD.py:360-385): the divisor is the
     * deepest proper ancestor whose value is >= the node's own value, falling back to
     * the root. The reference's direct-parent case (ancestor >= value immediately) is

@@ -121,7 +121,7 @@ class ParitySpec extends AnyFunSuite {
   test("one-shot hot path equals the driver-loop hot path (both fixtures, two thresholds)") {
     assume(hasFixtures)
     for (pf <- Seq(pf1, pf2); th <- Seq(0.05, 0.01)) {
-      val loop = Ops.hotPath(pf, threshold = th).df
+      val loop = Ops.hotPathIterative(pf, threshold = th).df
         .select("id").collect().map(_.getLong(0)).sorted
       val oneShot = Ops.hotPathOneShot(pf, threshold = th).df
         .select("id").collect().map(_.getLong(0)).sorted
