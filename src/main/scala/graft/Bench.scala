@@ -41,6 +41,24 @@ object Bench {
     var failed = List.empty[String]
     // SPARK_GRAFT_ONLY=csv-of-names limits the run (dev tool for isolating queries)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Build the shared cached intermediates (hierarchy nodes, shingles/bands/simhash)
+    // up front and report the cost as its own line item, so the alphabetically-first
+    // query touching each cache doesn't absorb the build (round-3 bench had a08 at
+    // 32 s and d06 at 82 s of what was really shared cache construction). Skipped
+    // when isolating queries with SPARK_GRAFT_ONLY so cold-plan profiling stays
+    // possible.
+    val cacheBuild: Double =
+      if (only.isDefined) 0.0
+      else {
+        val t0 = System.nanoTime()
+        try {
+          graft.queries.Hierarchy.prewarm(spark, sfDir)
+          graft.queries.TextOps.prewarm(spark, sfDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] cache prewarm failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -58,8 +76,8 @@ object Bench {
       case (k, v, None) => s"\"${esc(k)}\":$v"
       case (k, _, Some(e)) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length}}""")
+    val total = results.collect { case (_, v, None) => v }.sum + cacheBuild
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"sf":"$sfDir","failed":${failed.length}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

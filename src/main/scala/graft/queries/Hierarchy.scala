@@ -26,12 +26,29 @@ object Hierarchy {
     * so one build + one in-memory copy instead of seven customer⋈nation rebuilds
     * (the dominant cost of a bench run; the frame is ~#customers rows, far under
     * executor memory at any tested SF).
+    *
+    * Staleness contract: entries key on (session, dir) and are never invalidated —
+    * correct for the bench/verify harness (immutable input parquet, short-lived
+    * session); a long-lived session that rewrites the input must call
+    * [[clearCaches]] or it will read the stale cached frame.
     */
   private val nodesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def nodesCached(s: SparkSession, d: String): DataFrame =
     nodesCache.getOrElseUpdate((s, d), nodes(s, d).cache())
+
+  /** Materialize the shared cache up front (bench warmup) so per-query timings
+    * attribute to plans, not to whichever query touches the cache first.
+    */
+  def prewarm(s: SparkSession, d: String): Unit =
+    nodesCached(s, d).count()
+
+  /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
+  def clearCaches(): Unit = {
+    nodesCache.values.foreach(_.unpersist())
+    nodesCache.clear()
+  }
 
   /** The (id, path, value) nodes DataFrame. Built from two shuffled aggregations over
     * customer⋈nation (nation broadcast); at 100 TB the leaf level partitions by id and
@@ -173,7 +190,11 @@ object Hierarchy {
     "a15_flame" -> ((s, d) => {
       val n = nodesCached(s, d)
       val twoPi = lit(2.0 * math.Pi)
-      val wAll = Window.partitionBy(lit(1))
+      // constant-but-non-foldable partition key: Spark 4's EliminateWindowPartitions
+      // folds a literal key away, leaving an unpartitioned WindowExec whose WARN
+      // drowns real regressions. The input is one tree layer (5 region rows), so the
+      // single partition IS the semantics — this just keeps the spec non-empty.
+      val wAll = Window.partitionBy(col("id") * 0)
       val l1 = n.filter(size(col("path")) === 1).select(
         col("id"),
         (twoPi * col("value") / sum("value").over(wAll)).as("w"),

@@ -109,11 +109,16 @@ object Relational {
         .select("l_orderkey", "l_linenumber")
         .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
         .withColumn("__pid", spark_partition_id())
-      val offsets = keyed.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-        .withColumn("__off", coalesce(
-          sum("__cnt").over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select("__pid", "__off")
+      // running offsets over the per-partition counts via a bounded triangular join
+      // (P² rows, P = partition count — metadata-scale, not data-scale) instead of a
+      // window: any constant partition key over the non-nullable __pid gets folded
+      // away by Spark 4's optimizer, leaving an unpartitioned WindowExec whose WARN
+      // would drown real regressions in the logs
+      val counts = keyed.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      val offsets = counts
+        .join(counts.select(col("__pid").as("__pid_b"), col("__cnt").as("__cnt_b")),
+          col("__pid_b") < col("__pid"), "left")
+        .groupBy("__pid").agg(coalesce(sum("__cnt_b"), lit(0L)).as("__off"))
       keyed
         .withColumn("__prn", row_number().over(
           Window.partitionBy("__pid").orderBy("l_orderkey", "l_linenumber")))
