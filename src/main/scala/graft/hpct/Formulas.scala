@@ -128,8 +128,14 @@ object Formulas {
     case Call("pow", List(x, y)) => cpow(compile(x, ref), compile(y, ref))
     // min/max/sum appear in `combine` formulas (two-arg reductions over partial
     // results, e.g. experiment1.xml:244); supported for completeness:
-    case Call("min", List(x, y)) => realBin(compile(x, ref), compile(y, ref), least(_, _), "min")
-    case Call("max", List(x, y)) => realBin(compile(x, ref), compile(y, ref), greatest(_, _), "max")
+    // null-PROPAGATING min/max (Spark's least/greatest SKIP nulls): an undefined
+    // operand (absent metric, zero-divisor subexpression) must make the result
+    // undefined, same as +/-/* — fixture formulas only ever call these with
+    // identical operands (max($12, $12)), so parity is unaffected either way
+    case Call("min", List(x, y)) => realBin(compile(x, ref), compile(y, ref),
+      (l, r) => when(l.isNotNull && r.isNotNull, least(l, r)), "min")
+    case Call("max", List(x, y)) => realBin(compile(x, ref), compile(y, ref),
+      (l, r) => when(l.isNotNull && r.isNotNull, greatest(l, r)), "max")
     case Call("sum", List(x, y)) => realBin(compile(x, ref), compile(y, ref), _ + _, "sum")
     case Call(fn, args) => throw new IllegalArgumentException(s"unknown function $fn/${args.size}")
   }
@@ -151,13 +157,22 @@ object Formulas {
       Cx(a.re * b.re - ai * bi, Some(a.re * bi + ai * b.re))
     }
 
+  /** Division with an explicit zero-divisor policy: a zero divisor yields NULL.
+    * The reference raises ZeroDivisionError there (Python scalar division) — crashing
+    * a distributed job on one bad row is not acceptable engine behavior, and Spark's
+    * ANSI mode would otherwise throw DIVIDE_BY_ZERO mid-stage. NULL marks the value
+    * as undefined, consistent with how absent metrics propagate (`when` without
+    * `otherwise`). Fixture formulas never divide by zero, so parity is unaffected.
+    */
+  private def safeDiv(x: Column, d: Column): Column = when(d =!= 0.0, x / d)
+
   private def div(a: Cx, b: Cx): Cx =
-    if (a.isReal && b.isReal) Cx.real(a.re / b.re)
-    else if (b.isReal) Cx(a.re / b.re, a.im.map(_ / b.re))
+    if (a.isReal && b.isReal) Cx.real(safeDiv(a.re, b.re))
+    else if (b.isReal) Cx(safeDiv(a.re, b.re), a.im.map(safeDiv(_, b.re)))
     else { // full complex division: (a * conj(b)) / |b|^2
       val bi = b.im.get; val ai = a.im.getOrElse(lit(0.0))
       val denom = b.re * b.re + bi * bi
-      Cx((a.re * b.re + ai * bi) / denom, Some((ai * b.re - a.re * bi) / denom))
+      Cx(safeDiv(a.re * b.re + ai * bi, denom), Some(safeDiv(ai * b.re - a.re * bi, denom)))
     }
 
   /** `cmath.sqrt` semantics: principal square root; for negative real input the result is

@@ -77,15 +77,19 @@ class FormulasSpec extends AnyFunSuite {
         2 -> (for { op <- Gen.oneOf('+', '-', '*', '/'); l <- expr(depth - 1); r <- expr(depth - 1) } yield Bin(op, l, r)),
         1 -> (for { l <- expr(depth - 1); r <- expr(depth - 1) } yield Call("max", List(l, r))))
 
-    def eval(e: Expr, m: Map[Int, Double]): Double = e match {
-      case Num(v) => v
-      case Ref(n) => m(n)
-      case Neg(x) => -eval(x, m)
-      case Bin('+', l, r) => eval(l, m) + eval(r, m)
-      case Bin('-', l, r) => eval(l, m) - eval(r, m)
-      case Bin('*', l, r) => eval(l, m) * eval(r, m)
-      case Bin('/', l, r) => eval(l, m) / eval(r, m)
-      case Call("max", List(l, r)) => math.max(eval(l, m), eval(r, m))
+    // Mirrors the engine's documented zero-divisor policy: x / 0 is NULL (None), and
+    // NULL propagates through every operation — see Formulas.safeDiv.
+    def eval(e: Expr, m: Map[Int, Double]): Option[Double] = e match {
+      case Num(v) => Some(v)
+      case Ref(n) => Some(m(n))
+      case Neg(x) => eval(x, m).map(-_)
+      case Bin('+', l, r) => for (a <- eval(l, m); b <- eval(r, m)) yield a + b
+      case Bin('-', l, r) => for (a <- eval(l, m); b <- eval(r, m)) yield a - b
+      case Bin('*', l, r) => for (a <- eval(l, m); b <- eval(r, m)) yield a * b
+      case Bin('/', l, r) =>
+        for (a <- eval(l, m); b <- eval(r, m); if b != 0.0) yield a / b
+      case Call("max", List(l, r)) =>
+        for (a <- eval(l, m); b <- eval(r, m)) yield math.max(a, b)
       case other => fail(s"unexpected $other")
     }
 
@@ -93,10 +97,16 @@ class FormulasSpec extends AnyFunSuite {
     val df = spark.createDataFrame(Seq((3.5, 0.25, 11.0))).toDF("m1", "m2", "m3")
     check(Prop.forAll(expr(3)) { e =>
       val cx = compile(e, n => col(s"m$n"))
-      val got = df.select(cx.re.cast("double")).head().getDouble(0)
+      val row = df.select(cx.re.cast("double")).head()
+      val got = if (row.isNullAt(0)) None else Some(row.getDouble(0))
       val want = eval(e, metrics)
-      (got.isNaN && want.isNaN) || got.isInfinite == want.isInfinite &&
-        (got == want || math.abs(got - want) <= 1e-9 * math.max(1.0, math.abs(want)))
+      (got, want) match {
+        case (None, None) => true
+        case (Some(g), Some(w)) =>
+          (g.isNaN && w.isNaN) || g.isInfinite == w.isInfinite &&
+            (g == w || math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)))
+        case _ => false
+      }
     })
   }
 }
