@@ -47,6 +47,22 @@ object EventOps {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
+
+    // Skew-safe two-stage (salted) aggregation: event_type has a handful of distinct
+    // values, so a naive groupBy hashes ALL rows onto that many reducers — the
+    // classic hot-key stall at 100 TB. Stage 1 fans each key over 16 salted partial
+    // groups (even shuffle); stage 2 merges the <=16 tiny partials per key. The salt
+    // is arithmetic on event_id (deterministic), and count/sum merge associatively,
+    // so results are salt-invariant — the oracle is the plain GROUP BY.
+    "e05_salted_agg" -> ((s, d) => {
+      val salted = events(s, d)
+        .withColumn("__salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(count(lit(1)).as("c"), sum("value").as("sv"))
+      salted.groupBy("event_type")
+        .agg(sum("c").as("n"), round(sum("sv"), 2).as("sv"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -61,6 +77,8 @@ object EventOps {
         "ORDER BY hour, event_type"),
     "e03_json_extract" ->
       "SELECT event_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) AS k FROM events ORDER BY event_id",
+    "e05_salted_agg" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv FROM events GROUP BY event_type ORDER BY event_type",
     "e04_sessions_custom" ->
       ("WITH x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM events), " +
         "y AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
