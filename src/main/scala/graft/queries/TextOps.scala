@@ -32,11 +32,20 @@ object TextOps {
   private val bandsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  private val distinctShinglesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def shinglesCached(s: SparkSession, d: String): DataFrame =
     shinglesCache.getOrElseUpdate((s, d), shingles(s, d).cache())
 
   private def bandsCached(s: SparkSession, d: String): DataFrame =
     bandsCache.getOrElseUpdate((s, d), bands(s, d).cache())
+
+  /** d05 hits the distinct shingle set twice (one scan per join side) — cache the
+    * deduped frame so the distinct's shuffle runs once per (session, dir).
+    */
+  private def distinctShinglesCached(s: SparkSession, d: String): DataFrame =
+    distinctShinglesCache.getOrElseUpdate((s, d), shinglesCached(s, d).distinct().cache())
 
   /** word 3-gram shingles: (doc_id, shingle), one row per position. */
   private def shingles(s: SparkSession, d: String): DataFrame =
@@ -109,11 +118,12 @@ object TextOps {
     shinglesCached(s, d).count()
     bandsCached(s, d).count()
     simhashCached(s, d).count()
+    distinctShinglesCached(s, d).count()
   }
 
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
   def clearCaches(): Unit = {
-    for (m <- Seq(shinglesCache, bandsCache, simhashCache)) {
+    for (m <- Seq(shinglesCache, bandsCache, simhashCache, distinctShinglesCache)) {
       m.values.foreach(_.unpersist())
       m.clear()
     }
@@ -164,7 +174,7 @@ object TextOps {
 
     // Exact 3-gram Jaccard for the LSH candidates only (verification stage).
     "d05_jaccard" -> ((s, d) => {
-      val dsh = shinglesCached(s, d).distinct()
+      val dsh = distinctShinglesCached(s, d)
       val cnt = dsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val cand = candidatePairs(s, d)
       val inter = cand

@@ -44,6 +44,25 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("date-partitioned writes prune the scan to the queried partitions") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.orders(s, sf)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val q = s.read.parquet(dir).filter($"o_year" === 1995).select("o_orderkey")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the partition filter must be applied at LISTING time (PartitionFilters on the
+    // scan), not as a post-scan Filter over all years
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"), plan)
+    val postScanFilters = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(postScanFilters.isEmpty, s"partition predicate did not prune the scan:\n$plan")
+  }
+
   test("aggregation on the bucket key also skips the shuffle") {
     val s = spark
     import s.implicits._
