@@ -107,6 +107,12 @@ final case class ProfileFrame(df: DataFrame, meta: ProfileMeta) {
   def addRatioColumn(base: String, method: String = "total",
       name: Option[String] = None): ProfileFrame =
     copy(df = ProfileLoad.addRatioColumn(df, base, method, name))
+  /** reference `_str_or_regex_sequence_filter` (HD.py:95-120): string/regex
+    * prefix/suffix filtering over any array-of-string column.
+    */
+  def seqFilter(column: String, prefix: Seq[Ops.SeqPattern] = Nil,
+      suffix: Seq[Ops.SeqPattern] = Nil): ProfileFrame =
+    copy(df = Ops.seqFilter(df, column, prefix, suffix))
 }
 
 /** A multi-file load ([[ProfileLoad.loadMany]]): one merged table keyed by the `db`

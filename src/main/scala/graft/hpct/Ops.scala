@@ -28,6 +28,42 @@ object Ops {
     pf.copy(df = df)
   }
 
+  /** A pattern element for [[seqFilter]]: exact string equality or full-match regex
+    * (the reference's `str` vs compiled `t.Pattern` dichotomy, HD.py:95-120).
+    */
+  sealed trait SeqPattern
+  final case class Exact(value: String) extends SeqPattern
+  /** Java/Spark regex, matched against the WHOLE element (Python `fullmatch`). */
+  final case class Re(pattern: String) extends SeqPattern
+
+  /** Generalized string/regex sequence filter (reference
+    * `_str_or_regex_sequence_filter`, HD.py:95-120 — dead code there, zero call
+    * sites; surfaced here for API completeness): keep rows whose array-of-string
+    * `column` starts with `prefix` and/or ends with `suffix`, where each pattern
+    * element matches its aligned sequence element by equality ([[Exact]]) or by
+    * regex fullmatch ([[Re]]). Arbitrary `fragments` raise, mirroring HD.py:100.
+    * Compiles to positional `element_at` + `rlike` predicates — codegen'd, no UDF.
+    */
+  def seqFilter(df: DataFrame, column: String, prefix: Seq[SeqPattern] = Nil,
+      suffix: Seq[SeqPattern] = Nil, fragments: Seq[Seq[SeqPattern]] = Nil): DataFrame = {
+    require(fragments.isEmpty, "filtering by arbitrary fragment not supported")
+    def matches(el: Column, p: SeqPattern): Column = p match {
+      case Exact(v) => el === lit(v)
+      // rlike is a substring search; anchor both ends for Python fullmatch semantics
+      case Re(r) => el.rlike(s"\\A(?:$r)\\z")
+    }
+    var out = df
+    if (prefix.nonEmpty)
+      out = out.filter(prefix.zipWithIndex.map { case (p, i) =>
+        matches(element_at(col(column), i + 1), p)
+      }.fold(size(col(column)) >= prefix.length)(_ && _))
+    if (suffix.nonEmpty)
+      out = out.filter(suffix.zipWithIndex.map { case (p, i) =>
+        matches(element_at(col(column), -(suffix.length - i)), p)
+      }.fold(size(col(column)) >= suffix.length)(_ && _))
+    out
+  }
+
   /** Depth filter (`at_depths`/`at_depth`, reference HD.py:123-128, 395-401). */
   def atDepths(pf: ProfileFrame, minDepth: Option[Int] = None,
       maxDepth: Option[Int] = None): ProfileFrame = {

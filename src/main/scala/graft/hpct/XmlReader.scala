@@ -87,6 +87,14 @@ object XmlReader {
       modulePath: String, module: String, filePath: String, file: String,
       line: Long, procedure: String, id: Long, callpath: List[Long])
 
+  /** Per-tree-frame state: row's metric slot array (null for skipped callsites /
+    * pruned), the inheritable location, and the remaining depth budget. Top-level
+    * (not nested in StreamParser) so the synthesized case-class equals needs no
+    * outer-instance check.
+    */
+  private final case class Frame(
+      slots: Array[java.lang.Double], location: Location, remaining: Option[Int])
+
   private final class StreamParser(in: InputStream, pathLabel: String,
       maxDepth: Option[Int], skipCallsites: Boolean, headerOnly: Boolean) {
 
@@ -111,12 +119,6 @@ object XmlReader {
     private val rows = mutable.ArrayBuffer.empty[NodeRow]
     private var metricIndex: Map[Int, Int] = null // metric id -> array slot (ascending-id order)
     private var metricCount = 0
-
-    /** Per-tree-frame state: row's metric slot array (null for skipped callsites / pruned),
-      * the inheritable location, and the remaining depth budget.
-      */
-    private final case class Frame(
-        slots: Array[java.lang.Double], location: Location, remaining: Option[Int])
 
     def run(): Parsed = {
       val r = factory.createXMLStreamReader(in)
