@@ -55,8 +55,15 @@ object EventStreams {
 
   // not private: encoder-generated code instantiates these reflectively
   final case class Ev(user_id: Long, tsMicros: Long, value: Double)
-  /** Open-session state carried between micro-batches per user. */
+  /** One gap-separated session interval. */
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  /** Streaming state per user: ALL sessions the watermark hasn't finalized yet,
+    * disjoint and gap-separated, sorted by start. More than one can be pending when
+    * events arrive ahead of the watermark (the exact situation where emitting on the
+    * gap rule alone would be premature: an admitted late event may still merge into
+    * or bridge them).
+    */
+  final case class SessionsState(sessions: List[SessionState])
   final case class Session(user_id: Long, n_events: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       session_value: Double)
@@ -64,23 +71,25 @@ object EventStreams {
   /** Custom-state sessionization via `flatMapGroupsWithState` — the hand-rolled
     * equivalent of [[sessionize]] for session logic `session_window` can't express
     * (per-event predicates, value-dependent gaps, session caps). Semantics match
-    * session_window exactly: a new session starts iff the gap from the previous
-    * event is >= `gap`.
+    * session_window exactly: events merge into gap-separated intervals (out-of-order
+    * events extend sessions backwards and can BRIDGE two pending sessions into one,
+    * exactly like session_window's merging state store).
     *
     * Batch (`events.isStreaming == false`): each user's events arrive as one group;
-    * every session — including the trailing open one — is emitted, and no state
-    * survives (batch state is always transient anyway).
+    * every session is emitted, no state survives.
     *
-    * Streaming: the open session persists in GroupState between micro-batches and is
-    * flushed ONLY by EventTimeTimeout, when the watermark passes
-    * `session_end + gap` — the exact instant session_window would close it. Callers
-    * must set `.withWatermark` upstream ([[sessionizeCustomStream]] does). A session
-    * spanning micro-batches is therefore emitted once, complete — never as split
-    * partials.
+    * Streaming: ALL pending sessions persist in GroupState between micro-batches,
+    * and a session is emitted ONLY once the watermark passes `session_end + gap` —
+    * the first instant no admissible event can extend or bridge it (emitting on the
+    * gap rule alone would be premature: a late-but-admitted event could still merge
+    * backwards into the gap). Finalization happens on data arrival and via
+    * EventTimeTimeout for idle keys. Callers must set `.withWatermark` upstream
+    * ([[sessionizeCustomStream]] does). Sessions are therefore emitted exactly once,
+    * complete — never as split or retracted partials.
     *
     * At scale: state is per-user and partitioned by the groupByKey shuffle. The
-    * per-invocation `sortBy` buffers one user's events for one micro-batch (batch
-    * mode: one user's whole history) — bounded by per-user volume, the same bound
+    * per-invocation sort buffers one user's events for one micro-batch (batch mode:
+    * one user's whole history) plus the watermark-pending sessions — the same bound
     * session_window's merging state carries; a hot key beyond memory needs a
     * pre-split (e.g. salt by day) in either formulation.
     */
@@ -105,35 +114,43 @@ object EventStreams {
         Math.floorMod(us, 1000000L) * 1000))
     def emit(user: Long, st: SessionState): Session =
       Session(user, st.n, toTs(st.start), toTs(st.last), st.sum)
+    // Interval merge: existing pending sessions + this batch's events (as degenerate
+    // sessions), sorted by start, folded — adjacent pieces closer than the gap merge,
+    // which handles in-order appends, backward extension, and bridging uniformly.
+    // Deterministic accumulation order (sort is total on (start, last, sum)).
+    def mergeAll(existing: List[SessionState], evs: Seq[Ev]): List[SessionState] = {
+      val pieces = existing ++ evs.map(e => SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+      pieces.sortBy(s => (s.start, s.last, s.sum))
+        .foldLeft(List.empty[SessionState]) { (acc, s) =>
+          acc match {
+            case h :: t if s.start - h.last < gapMicros =>
+              SessionState(h.start, math.max(h.last, s.last), h.n + s.n, h.sum + s.sum) :: t
+            case _ => s :: acc
+          }
+        }.reverse
+    }
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, timeoutConf) { (user, evs, state: GroupState[SessionState]) =>
-        if (streaming && state.hasTimedOut) {
-          // watermark passed session_end + gap: the open session can no longer grow
-          val done = emit(user, state.get)
-          state.remove()
-          Iterator.single(done)
-        } else {
-          val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.value))
-          val out = Seq.newBuilder[Session]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
-            else if (e.tsMicros - st.last >= gapMicros) {
-              out += emit(user, st)
-              st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
-            } else st = SessionState(st.start, e.tsMicros, st.n + 1, st.sum + e.value)
+      .flatMapGroupsWithState[SessionsState, Session](
+        OutputMode.Append, timeoutConf) { (user, evs, state: GroupState[SessionsState]) =>
+        val merged = mergeAll(state.getOption.map(_.sessions).getOrElse(Nil), evs.toSeq)
+        if (!streaming) merged.map(emit(user, _)).iterator
+        else {
+          // a session is final iff no admissible future event (ts >= watermark) can
+          // reach it: last + gap <= watermark. Same rule on data arrival and timeout.
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = merged.partition(s => s.last + gapMicros <= wmMicros)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // +1ms so the ms-floored target lands strictly past last + gap, and
+            // clamped strictly past the watermark (Spark rejects earlier targets)
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.last).min / 1000 + gapMicros / 1000 + 1,
+              wmMicros / 1000 + 1))
           }
-          if (st != null) {
-            if (streaming) {
-              // keep the open session; flush when the watermark passes last + gap
-              state.update(st)
-              state.setTimeoutTimestamp(st.last / 1000 + gapMicros / 1000)
-            } else out += emit(user, st) // batch: the group is complete
-          }
-          out.result().iterator
+          done.map(emit(user, _)).iterator
         }
       }
       .toDF()

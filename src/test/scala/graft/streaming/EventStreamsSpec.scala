@@ -56,8 +56,8 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(custom === builtin)
   }
 
-  test("custom-state sessionizer withholds the open session across micro-batches " +
-      "and flushes it via event-time timeout") {
+  test("custom-state sessionizer withholds pending sessions across micro-batches " +
+      "and finalizes them only when the watermark passes session_end + gap") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
     val source = mem.toDF().toDF("user_id", "ts", "value")
@@ -72,18 +72,49 @@ class EventStreamsSpec extends AnyFunSuite {
       mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0))
       q.processAllAvailable()
       assert(emitted().isEmpty, "open session leaked out of batch 1")
-      // batch 2: a user-1 event 50 min later closes session 1 by the gap rule; the
-      // new session (one event at m=50) stays open
+      // batch 2: a user-1 event 40 min later starts a second session; processing this
+      // batch advances the watermark to m=45, and the resulting no-data batch
+      // finalizes session 1 (end 10:10 + gap = 10:40 <= 10:45)
       mem.addData((1L, ts(50), 3.0))
       q.processAllAvailable()
       assert(emitted() === Array((1L, 2L, ts(0), 3.0)))
       // batch 3: an unrelated user's much-later event advances the watermark past
-      // m=50 + gap + lateness, so the timeout flushes user 1's open session
-      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:00:00"), 9.0))
-      q.processAllAvailable()
-      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:01:00"), 1.0))
+      // m=50 + gap, finalizing user 1's second session via the event-time timeout
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:30:00"), 9.0))
       q.processAllAvailable()
       assert(emitted() === Array((1L, 2L, ts(0), 3.0), (1L, 1L, ts(50), 3.0)))
+    } finally q.stop()
+  }
+
+  test("custom-state sessionizer merges an admitted out-of-order event BACKWARDS, " +
+      "bridging two pending sessions instead of emitting them split") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val source = mem.toDF().toDF("user_id", "ts", "value")
+    // lateness 60m: events up to an hour late are admitted, so sessions must stay
+    // pending long enough that a late arrival can still bridge them
+    val q = EventStreams.sessionizeCustomStream(source, gap = "30 minutes", lateness = "60 minutes")
+      .writeStream.format("memory").queryName("bridge_sess_out").outputMode("append").start()
+    try {
+      def emitted() = spark.table("bridge_sess_out")
+        .select("user_id", "n_events", "session_start", "session_end", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getDouble(4)))
+        .sortBy(x => (x._1, x._3.getTime))
+      mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0)) // pending session A [0,10]
+      q.processAllAvailable()
+      mem.addData((1L, ts(50), 3.0)) // pending session B [50,50] (gap 40 >= 30)
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "sessions emitted before the watermark allowed")
+      // late event at m=25 (admitted: watermark is 09:50): extends A to [0,25], and
+      // now B is only 25 min away -> A and B BRIDGE into one session [0,50]
+      mem.addData((1L, ts(25), 5.0))
+      q.processAllAvailable()
+      assert(emitted().isEmpty)
+      // advance the watermark far past 10:50 + gap: exactly ONE merged session
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 13:00:00"), 9.0))
+      q.processAllAvailable()
+      assert(emitted() === Array((1L, 4L, ts(0), ts(50), 11.0)))
     } finally q.stop()
   }
 
