@@ -5,14 +5,24 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel shared by interpreted eval and generated code. */
 object TokenHash {
   private val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-thread MD5 — the one digest helper every md5-derived kernel shares
+    * (token hashes here, the multimodal stub decode).
+    */
+  def md5(bytes: Array[Byte]): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    d.digest(bytes)
   }
 
   /** Bits [16*band, 16*band+16) of md5(utf8(s)) — EXACTLY the value the portable SQL
@@ -23,9 +33,10 @@ object TokenHash {
     * a sign-risky 64-bit integer.
     */
   def hash16(s: UTF8String, band: Int): Int = {
-    val d = md.get()
-    d.reset()
-    val bytes = d.digest(s.getBytes)
+    // md5 has 16 digest bytes = 8 16-bit chunks; a clear error beats an
+    // ArrayIndexOutOfBoundsException from deep inside a stage
+    require(band >= 0 && band <= 7, s"token_hash16 band must be in [0, 7], got $band")
+    val bytes = md5(s.getBytes)
     ((bytes(2 * band) & 0xff) << 8) | (bytes(2 * band + 1) & 0xff)
   }
 
@@ -42,6 +53,13 @@ object TokenHash {
 case class TokenHash16(child: Expression, band: Expression) extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = band
+  // ExpectsInputTypes would say this declaratively, but AbstractDataType is
+  // private[sql]; the explicit check gives the same analysis-time failure
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && band.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_hash16 expects (string, int), got (${child.dataType.sql}, ${band.dataType.sql})")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "token_hash16"
 

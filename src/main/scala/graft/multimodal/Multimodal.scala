@@ -34,11 +34,6 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = true),
     StructField("fingerprint", StringType, nullable = false)))
 
-  private val md5TL = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** STUB — deterministic fake decode. A real build links an image/audio codec here;
     * this fake derives plausible dimensions from md5(payload) only, so tests and
     * DuckDB oracles reproduce it exactly: with `h` = md5 hex string and
@@ -47,9 +42,7 @@ object Multimodal {
     * n_frames = 1 + v(9) % 240, fingerprint = substr(h, 1, 16).
     */
   private[multimodal] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    val d = md5TL.get()
-    d.reset()
-    val h = d.digest(bytes)
+    val h = graft.functions.TokenHash.md5(bytes)
     def v(i: Int) = ((h(i) & 0xff) << 8) | (h(i + 1) & 0xff)
     val w = 16 + v(0) % 1024
     val ht = 16 + v(2) % 1024

@@ -40,11 +40,7 @@ object MediaOps {
   /** Hex digits [o, o+3] of md5 hex string `h` as a 16-bit int (mirrors
     * Multimodal.fakeDecode's digest-byte arithmetic).
     */
-  private def hexv(o: Int): String =
-    s"((strpos('0123456789abcdef', substr(h,$o,1))-1)*4096 + " +
-      s"(strpos('0123456789abcdef', substr(h,${o + 1},1))-1)*256 + " +
-      s"(strpos('0123456789abcdef', substr(h,${o + 2},1))-1)*16 + " +
-      s"(strpos('0123456789abcdef', substr(h,${o + 3},1))-1))"
+  private def hexv(o: Int): String = OracleSql.hex16("h", o.toString)
 
   /** DuckDB CTE mirroring [[Multimodal.fakeDecode]] over the documents payload. */
   private val DecCte =

@@ -303,10 +303,7 @@ object TextOps {
     "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
       "hm AS (SELECT doc_id, md5(t) AS h FROM toks), " +
       "hv AS (SELECT doc_id, b, " +
-      "(strpos('0123456789abcdef', substr(h, b*4+1, 1))-1)*4096 + " +
-      "(strpos('0123456789abcdef', substr(h, b*4+2, 1))-1)*256 + " +
-      "(strpos('0123456789abcdef', substr(h, b*4+3, 1))-1)*16 + " +
-      "(strpos('0123456789abcdef', substr(h, b*4+4, 1))-1) AS v " +
+      s"${OracleSql.hex16("h", "b*4+1")} AS v " +
       "FROM hm CROSS JOIN (SELECT unnest(range(0, 4)) AS b)), " +
       "bits AS (SELECT doc_id, b, j, CASE WHEN sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
       "THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bit " +
