@@ -224,6 +224,10 @@ object ProfileLoad {
     * than its child, where the walk-up and the direct parent genuinely differ.
     * `method = "parent_direct"` is the plain parent self-join — fixture-proven equal
     * for inclusive metrics and one join cheaper.
+    *
+    * Single-profile frames only (exactly one root row, enforced for "total"):
+    * loadMany-merged multi-db frames must use [[addRatioColumnsPerDb]], which keys
+    * every join by `db`.
     */
   def addRatioColumn(df: DataFrame, base: String, method: String = "total",
       name: Option[String] = None): DataFrame = {
@@ -235,6 +239,15 @@ object ProfileLoad {
     val withCol = method match {
       case "total" =>
         val rootRow = df.filter(col("id") === Model.RootId).select(col(base).as("__root_total"))
+        // A silent cross join would ANNIHILATE every row on a frame whose root was
+        // filtered away (e.g. after atDepths) and DUPLICATE every row on a multi-db
+        // merged frame (one root per file — use addRatioColumnsPerDb there). The
+        // reference raises KeyError on a missing root (HD.py:357); fail as loudly.
+        val nRoots = rootRow.limit(2).count()
+        require(nRoots == 1,
+          s"ratio-of-total needs exactly one root row (id = ${Model.RootId}), found " +
+            (if (nRoots == 0) "none — was the root filtered out (e.g. atDepths)?"
+             else "several — multi-db frames need per-db ratios (addRatioColumnsPerDb)"))
         df.crossJoin(broadcast(rootRow))
           .withColumn(colName, col(base) / col("__root_total"))
           .drop("__root_total")

@@ -95,16 +95,19 @@ object VectorOps {
       def cosOf(a: String, b: String): Column =
         expr(s"vec_dot($a, $b)") /
           (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
-      // inverted lists: nearest centroid per vector (16-row broadcast, rank-1 window)
+      // ranking cosines round to 9 dp on BOTH engines: the argmax/probe pick must
+      // not depend on sub-ulp accumulation-order differences vs DuckDB — after
+      // rounding, near-ties collapse to equal and the cid tie-break decides
+      // identically on both sides
       val assigned = emb.crossJoin(broadcast(cent))
-        .withColumn("ccos", cosOf("embedding", "ce"))
+        .withColumn("ccos", round(cosOf("embedding", "ce"), 9))
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("embedding"), col("cid"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val probed = cent.crossJoin(broadcast(q))
-        .withColumn("ccos", cosOf("ce", "qe"))
+        .withColumn("ccos", round(cosOf("ce", "qe"), 9))
         .orderBy(desc("ccos"), asc("cid")).limit(4)
         .select("cid")
       assigned.join(broadcast(probed), "cid")
@@ -173,13 +176,13 @@ object VectorOps {
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sb " +
         "FROM az GROUP BY vec_id, cid), " +
         "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY dot / (sqrt(sa) * sqrt(sb)) DESC, cid) AS rk FROM ascore) WHERE rk = 1), " +
+        "(PARTITION BY vec_id ORDER BY round(dot / (sqrt(sa) * sqrt(sb)), 9) DESC, cid) AS rk FROM ascore) WHERE rk = 1), " +
         // query probes its nprobe=4 nearest centroids
         "pz AS (SELECT c.cid, unnest(c.ce) AS x, unnest(q.qe) AS y FROM cent c CROSS JOIN q), " +
         "pscore AS (SELECT cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sb " +
         "FROM pz GROUP BY cid), " +
-        "probe AS (SELECT cid FROM pscore ORDER BY dot / (sqrt(sa) * sqrt(sb)) DESC, cid LIMIT 4), " +
+        "probe AS (SELECT cid FROM pscore ORDER BY round(dot / (sqrt(sa) * sqrt(sb)), 9) DESC, cid LIMIT 4), " +
         // exact-score only the probed lists
         "cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid), " +
         "z AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y " +
