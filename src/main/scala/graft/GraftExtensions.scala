@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{TokenHash16, VecDot}
+
+/** Cluster-wide registration of graft's native SQL functions via
+  * `spark.sql.extensions=graft.GraftExtensions` — the standard way to ship custom
+  * Catalyst expressions to every session of a shared cluster (injected functions
+  * exist in each new session without per-session `register` calls, including
+  * sessions created by JDBC/Thrift or notebook tenants).
+  *
+  * Local code paths (tests, Verify, Bench) call `TokenHash16.register` /
+  * `VecDot.register` on an already-built session instead; both routes install the
+  * same builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("token_hash16"),
+      new ExpressionInfo(classOf[TokenHash16].getName, "token_hash16"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => TokenHash16(s, Literal(0))
+        case Seq(s, b) => TokenHash16(s, b)
+        case _ => throw new IllegalArgumentException("token_hash16 takes 1 or 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot takes two arguments")
+        VecDot(args.head, args(1))
+      }))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions=graft.GraftExtensions` deployment path must resolve both
+  * native functions in a session that never called the per-session `register`s.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects token_hash16 and vec_dot into a fresh session") {
+    val base = SparkTestBase.spark // ensure the shared SparkContext exists first
+    // getOrCreate returns the active/default session (extensions silently ignored)
+    // unless both are cleared; the builder then makes a NEW session over the same
+    // SparkContext. Restore the shared session afterwards — and never stop() here,
+    // the SparkContext is shared by every suite in this JVM.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions()).getOrCreate()
+      assert(s ne base, "expected a fresh session, got the shared one")
+      val row = s.sql(
+        "SELECT token_hash16('hello'), token_hash16('hello', 3), " +
+          "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head()
+      assert(row.getInt(0) === graft.functions.TokenHash.hash16(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello"), 0))
+      assert(row.getInt(1) === graft.functions.TokenHash.hash16(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello"), 3))
+      assert(row.getDouble(2) === 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
