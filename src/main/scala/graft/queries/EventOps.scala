@@ -63,6 +63,34 @@ object EventOps {
         .agg(sum("c").as("n"), round(sum("sv"), 2).as("sv"))
         .orderBy("event_type")
     }),
+
+    // Hot-key-safe sessionization — the pre-split e01/e04's scaladocs promise for
+    // users whose event history exceeds executor memory. Stage 1 co-groups on
+    // (user_id, DAY): session_window's merging state then never holds more than one
+    // user-day of events, and a session spanning midnight is split exactly at an
+    // event boundary. Stage 2 merges those splits with gaps-and-islands over the
+    // per-SESSION rows — orders of magnitude fewer than events (the user-partitioned
+    // window that would be a hot-key hazard over raw events is harmless over session
+    // summaries). Salt-invariant by construction, so the oracle is e01's.
+    "e06_sessions_salted" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapMicros = 30L * 60 * 1000000
+      val seg = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("__day"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), min("ts").as("s_start"), max("ts").as("s_end"))
+      val w = Window.partitionBy("user_id").orderBy("s_start")
+      seg
+        .withColumn("__ns", when(unix_micros(col("s_start")) -
+          unix_micros(lag("s_end", 1).over(w)) >= gapMicros, 1).otherwise(0))
+        .withColumn("__island", sum("__ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "__island")
+        .agg(sum("n").as("n_events"),
+          date_format(min("s_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .select("user_id", "n_events", "session_start")
+        .orderBy("user_id", "session_start")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,6 +108,12 @@ object EventOps {
     "e05_salted_agg" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv FROM events GROUP BY event_type ORDER BY event_type",
     "e04_sessions_custom" ->
+      ("WITH x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM events), " +
+        "y AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+        "SELECT user_id, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start " +
+        "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // salt-invariant: identical sessions to e01 by construction
+    "e06_sessions_salted" ->
       ("WITH x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM events), " +
         "y AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
         "SELECT user_id, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start " +

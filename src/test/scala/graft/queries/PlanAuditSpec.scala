@@ -53,6 +53,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("__pid"), p)
   }
 
+  test("e06 salted sessions equal plain sessions (salt-invariance)") {
+    val e01 = graft.SparkEntry.queries("e01_sessions")(spark, sf).collect()
+    val e06 = graft.SparkEntry.queries("e06_sessions_salted")(spark, sf).collect()
+    assert(e06.length === e01.length)
+    assert(e06.map(_.toString).sorted === e01.map(_.toString).sorted)
+  }
+
   test("whole-stage codegen covers the scan-heavy queries") {
     // AQE prints isFinalPlan=false (no codegen markers) until executed — run first
     for (q <- Seq("b07_case_expr", "t01_textstats", "b20_math")) {
