@@ -117,6 +117,47 @@ object VectorOps {
         .limit(5)
     }),
 
+    // IVF with TRAINED centroids: one deterministic Lloyd refinement of s03's seeds
+    // (assign to seeds -> per-dim mean per list -> reassign + probe + exact score).
+    // Per-dim means round to 6 dp then cast to float, so the trained quantizer is
+    // bit-identical across engines and accumulation orders; everything downstream is
+    // s03's plan shape. At scale the refinement is one extra broadcast cross-score
+    // and one (cid, dim)-keyed agg — both shuffle-light; more Lloyd iterations just
+    // repeat the same two stages.
+    "s04_ann_ivf_trained" -> ((s, d) => {
+      graft.functions.VecDot.register(s)
+      val emb = embeddings(s, d)
+      def cosOf(a: String, b: String): Column =
+        expr(s"vec_dot($a, $b)") /
+          (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
+      // nearest-centroid assignment (9-dp rounding: see s03)
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .withColumn("ccos", round(cosOf("embedding", "ce"), 9))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+      val seeds = emb.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val trained = assign(seeds)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("cid").agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("ce"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val probed = trained.crossJoin(broadcast(q))
+        .withColumn("ccos", round(cosOf("ce", "qe"), 9))
+        .orderBy(desc("ccos"), asc("cid")).limit(4)
+        .select("cid")
+      assign(trained).join(broadcast(probed), "cid")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosOf("embedding", "qe"), 5).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(5)
+    }),
+
     // Embedding-cosine near-dup (dedup family #5): banded sign-LSH candidate pairs
     // (same (band, bucket) equi-join, id_a < id_b — never all-pairs), scored exactly,
     // kept above a cosine threshold. The (band, bucket) pair is the shuffle key; at
@@ -191,6 +232,38 @@ object VectorOps {
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
         "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
         s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5"),
+    "s04_ann_ivf_trained" -> {
+      // nearest-centroid assignment from centroid CTE `c` (mirrors s03's assign)
+      def assignSql(cents: String, az: String, sc: String, out: String) =
+        s"$az AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y " +
+          s"FROM embeddings e CROSS JOIN $cents c), " +
+          s"$sc AS (SELECT vec_id, cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+          "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sb " +
+          s"FROM $az GROUP BY vec_id, cid), " +
+          s"$out AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+          s"(PARTITION BY vec_id ORDER BY round(dot / (sqrt(sa) * sqrt(sb)), 9) DESC, cid) AS rk FROM $sc) WHERE rk = 1)"
+      "WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 16), " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        assignSql("cent", "az0", "as0", "assign0") + ", " +
+        // one Lloyd step: per-dim mean of each list, rounded 6 dp, cast to float
+        "dims AS (SELECT unnest(range(1, 65)) AS pos), " +
+        "upd AS (SELECT a.cid, d.pos, round(avg(CAST(e.embedding[d.pos] AS DOUBLE)), 6) AS m " +
+        "FROM assign0 a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY a.cid, d.pos), " +
+        "tcent AS (SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS ce FROM upd GROUP BY cid), " +
+        assignSql("tcent", "az1", "as1", "assign1") + ", " +
+        "pz AS (SELECT c.cid, unnest(c.ce) AS x, unnest(q.qe) AS y FROM tcent c CROSS JOIN q), " +
+        "pscore AS (SELECT cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sb " +
+        "FROM pz GROUP BY cid), " +
+        "probe AS (SELECT cid FROM pscore ORDER BY round(dot / (sqrt(sa) * sqrt(sb)), 9) DESC, cid LIMIT 4), " +
+        "cand AS (SELECT a.vec_id FROM assign1 a JOIN probe p ON a.cid = p.cid), " +
+        "z AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y " +
+        "FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id CROSS JOIN q), " +
+        "s AS (SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
+        "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
+        s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5"
+    },
     "d08_embed_neardup" ->
       (s"WITH $bandedSql, " +
         "p AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS ea, b2.embedding AS eb " +
