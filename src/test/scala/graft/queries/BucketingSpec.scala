@@ -63,6 +63,28 @@ class BucketingSpec extends AnyFunSuite {
     assert(postScanFilters.isEmpty, s"partition predicate did not prune the scan:\n$plan")
   }
 
+  test("IVF inverted lists stored partitionBy(cid) prune a probe to the probed lists") {
+    // the s03/s04 scale story made literal: centroid id as the storage partition
+    // key means an nprobe-probe reads nprobe/K of the data at LISTING time
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val emb = Tables.embeddings(s, "/root/testdata/sf0.001")
+    // toy assignment (pmod) — the layout property under test is independent of how
+    // the real queries compute nearest-centroid
+    emb.withColumn("cid", pmod($"vec_id", lit(16)))
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val probe = s.read.parquet(dir).filter($"cid".isin(3, 7, 11, 15))
+      .select("vec_id", "embedding")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+    val postScanFilters = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(postScanFilters.isEmpty, s"probe did not prune at listing time:\n$plan")
+  }
+
   test("aggregation on the bucket key also skips the shuffle") {
     val s = spark
     import s.implicits._

@@ -45,6 +45,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("s04: Lloyd training stays broadcast/keyed — no cartesian, no shuffled cross-score") {
+    val p = plan("s04_ann_ivf_trained")
+    assert(!p.contains("CartesianProduct"), p)
+    // every cross-score is against a broadcast K-row centroid table
+    assert(p.contains("Broadcast"), p)
+  }
+
   test("b10: no window moves the whole dataset to one partition") {
     // the only unpartitioned window allowed is over the per-partition counts
     // (bounded by the partition count); the data window is keyed by __pid
