@@ -162,4 +162,17 @@ object EventStreams {
   def sessionizeCustomStream(events: DataFrame, gap: String = "30 minutes",
       lateness: String = "10 minutes"): DataFrame =
     sessionizeCustom(events.withWatermark("ts", lateness), gap)
+
+  /** Exactly-once event dedup by id, batch or streaming. Streaming uses
+    * `dropDuplicatesWithinWatermark`: the dedup state for an id is dropped once the
+    * watermark passes its event time + `lateness` — bounded state, unlike a plain
+    * streaming dropDuplicates whose key set grows forever. A replay arriving while
+    * the id is still in state is suppressed; one arriving later than `lateness` is
+    * admitted as new — the standard at-least-once-source to effectively-once
+    * contract, sized by the source's redelivery horizon.
+    */
+  def dedupEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 }

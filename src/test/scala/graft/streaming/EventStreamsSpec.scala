@@ -118,6 +118,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses in-state replays and writes exactly-once to a " +
+      "checkpointed parquet sink") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val source = mem.toDF().toDF("event_id", "ts", "value")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-sink").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-dedup-ck").toString
+    // the real sink path: append-mode parquet files + checkpointed offsets/state
+    val q = EventStreams.dedupEvents(source, lateness = "60 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir).outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0))
+      q.processAllAvailable()
+      // batch 2 replays id=1 (still within the watermark horizon) and adds id=3
+      mem.addData((1L, ts(0), 1.0), (3L, ts(2), 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(out === Array(1L, 2L, 3L), "replayed id leaked through or a row was lost")
+    } finally q.stop()
+  }
+
   test("tumblingCountsStream aggregates into aligned hourly windows") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
