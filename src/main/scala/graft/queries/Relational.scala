@@ -239,6 +239,20 @@ object Relational {
         .select("o_orderstatus", "o_orderpriority")
         .distinct()
         .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // B23: grouping sets (rollup): per-group, per-flag-subtotal, and grand-total rows
+    // in ONE pass — at scale this replaces three separate scans+aggregations with one
+    // expand + partial-agg plan. grouping_id disambiguates subtotal levels (packed
+    // identically by Spark and DuckDB).
+    "b23_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,5 +298,10 @@ object Relational {
       "SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n, round(sum(o_totalprice), 2) AS tot FROM orders GROUP BY strftime(o_orderdate, '%Y-%m') ORDER BY mon",
     "b22_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority",
+    "b23_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
   )
 }

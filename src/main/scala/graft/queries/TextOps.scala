@@ -268,6 +268,28 @@ object TextOps {
         .agg(min("w").as("fp"), countDistinct("w").cast("long").as("n_windows"))
         .orderBy("doc_id")),
 
+    // KMV (k-minimum-values) distinct-count sketch over corpus tokens. Unlike HLL,
+    // KMV is exactly reproducible across engines: the k smallest md5 values of the
+    // distinct tokens determine the estimate (k-1)/frac(kth hash) with no
+    // implementation-defined randomness — so the sketch itself is oracle-checked.
+    // Scale shape: distinct-by-hash (even shuffle) then a global top-k
+    // (TakeOrdered: per-partition heaps, never a full sort); the sketch is 64 rows
+    // regardless of corpus size, and sketches from disjoint corpus shards merge by
+    // union + re-top-k.
+    "t06_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("t"))
+        .select(md5(col("t").cast("binary")).as("h")).distinct()
+        .orderBy("h").limit(k) // fixed-width hex: lexicographic == numeric order
+        .agg(count(lit(1)).as("k"), max("h").as("hk"))
+        .select(col("k"), col("hk"),
+          // 48-bit prefix of the kth hash as a fraction of the hash space
+          round(lit((k - 1).toDouble) /
+            (conv(substring(col("hk"), 1, 12), 16, 10).cast("double") /
+              lit(math.pow(2, 48))), 2).as("est_distinct"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata extraction. The
     // binary payload here is the text bytes (the container has no image libs; see
     // graft.multimodal for the stubbed decode path with real Spark plumbing).
@@ -373,5 +395,12 @@ object TextOps {
         "FROM documents)) GROUP BY doc_id ORDER BY doc_id"),
     "m01_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, substr(text, 1, 4) AS head4, substr(md5(text), 1, 8) AS fp8 FROM documents ORDER BY doc_id",
+    "t06_kmv_distinct" ->
+      ("WITH hs AS (SELECT DISTINCT md5(t) AS h FROM " +
+        "(SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)), " +
+        "topk AS (SELECT h FROM hs ORDER BY h LIMIT 64) " +
+        "SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS hk, " +
+        "round(63.0 / ((('0x' || substr(max(h), 1, 12))::BIGINT) / 281474976710656.0), 2) AS est_distinct " +
+        "FROM topk"),
   )
 }
