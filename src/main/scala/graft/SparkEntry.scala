@@ -5,11 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` aggregates every declared operator family:
-  *  - graft.queries.Relational — SURVEY §2.B generic relational surface (b01..b22)
+  *  - graft.queries.Relational — SURVEY §2.B generic relational surface (b01..b23)
   *  - graft.queries.Hierarchy  — tree-as-table analogs of §2.A (a08..a15, b14)
-  *  - graft.queries.TextOps    — dedup / minhash-LSH / text analysis (d01..d05, t01..t03, m01)
-  *  - graft.queries.VectorOps  — similarity search (s01, s02)
-  *  - graft.queries.EventOps   — sessionization / windows / json (e01..e03)
+  *  - graft.queries.TextOps    — dedup: exact/MinHash-LSH/SimHash/Jaccard (d01..d07),
+  *    text analysis + KMV sketch (t01..t06), binary meta (m01)
+  *  - graft.queries.VectorOps  — similarity search (s01..s04), embedding near-dup (d08)
+  *  - graft.queries.EventOps   — sessionization / windows / json / skew-safe salting
+  *    (e01..e06; e07 streaming dedup is spec-pinned in graft.streaming)
   *  - graft.queries.MediaOps   — multimodal decode/resize/frame-sample (m02..m04)
   * Every key has a DuckDB oracle in `oracleSql` with identical column names and a
   * pinned ORDER BY, per the driver's hash-compare contract (the MediaOps stub decode

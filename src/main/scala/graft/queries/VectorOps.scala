@@ -165,14 +165,21 @@ object VectorOps {
     // partition-local.
     "d08_embed_neardup" -> ((s, d) => {
       graft.functions.VecDot.register(s)
-      val bb = banded(embeddings(s, d))
-      val a = bb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bi"), col("bucket"))
-      val b = bb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bi"), col("bucket"))
+      val emb = embeddings(s, d)
+      val bb = banded(emb)
+      // candidate ids first: the bucket join and the cross-band distinct shuffle
+      // ONLY (id_a, id_b) pairs — the 64-float payloads would otherwise ride
+      // through both exchanges (2×64 floats per row) just to be deduped by id
+      val pairs = bb.select(col("vec_id").as("id_a"), col("bi"), col("bucket"))
+        .join(bb.select(col("vec_id").as("id_b"), col("bi"), col("bucket")), Seq("bi", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
       val dot = expr("vec_dot(ea, eb)")
       val na = expr("vec_dot(ea, ea)")
       val nb = expr("vec_dot(eb, eb)")
-      a.join(b, Seq("bi", "bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("ea"), col("eb")).distinct()
+      pairs
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
         .select(col("id_a"), col("id_b"), round(dot / (sqrt(na) * sqrt(nb)), 5).as("cos"))
         .filter(col("cos") >= 0.25)
         .orderBy("id_a", "id_b")
