@@ -70,7 +70,10 @@ object Bench {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         if (err.isEmpty) {
-          try fn(spark, sfDir).count()
+          // noop sink, not count(): count(1) lets Catalyst prune every column, so a
+          // projection query would be timed as a metadata-only scan; noop
+          // materializes every row and column without writing anywhere
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -201,16 +201,21 @@ object TextOps {
     // per band -> N²/64 pairs).
     "d07_simhash_neardup" -> ((s, d) => {
       val sh = simhashCached(s, d)
+      // candidate ids first: the bucket join and the cross-band distinct shuffle
+      // ONLY (id_a, id_b) — a pair colliding in k bands would otherwise ride k
+      // copies of both 4-band signatures through the exchanges; the signatures are
+      // joined back once per deduped pair for the hamming verify
       def banded(p: String) = sh
-        .select(col("doc_id").as(s"id_$p") +:
-          (0 to 3).map(b => col(s"s$b").as(s"$p$b")) :+
+        .select(col("doc_id").as(s"id_$p"),
           explode(array((0 to 3).map(b =>
-            struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"): _*)
-        .select(col(s"id_$p") +: (0 to 3).map(b => col(s"$p$b")) :+
-          col("x.bi").as("bi") :+ col("x.bv").as("bv"): _*)
-      banded("a").join(banded("b"), Seq("bi", "bv"))
+            struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"))
+        .select(col(s"id_$p"), col("x.bi").as("bi"), col("x.bv").as("bv"))
+      val pairs = banded("a").join(banded("b"), Seq("bi", "bv"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3").distinct()
+        .select("id_a", "id_b").distinct()
+      def sigs(p: String) = sh.select(col("doc_id").as(s"id_$p") +:
+        (0 to 3).map(b => col(s"s$b").as(s"$p$b")): _*)
+      pairs.join(sigs("a"), "id_a").join(sigs("b"), "id_b")
         .withColumn("hamming",
           (0 to 3).map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("long"))
         .filter(col("hamming") <= 3)
