@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{TokenHash16, VecDot}
+import graft.functions.{RollingFp, TokenHash16, VecDot}
 
 /** Cluster-wide registration of graft's native SQL functions via
   * `spark.sql.extensions=graft.GraftExtensions` — the standard way to ship custom
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot takes two arguments")
         VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_fp takes one argument")
+        RollingFp(args.head)
       }))
   }
 }

@@ -17,13 +17,18 @@ object TokenHash {
   }
 
   /** Per-thread MD5 — the one digest helper every md5-derived kernel shares
-    * (token hashes here, the multimodal stub decode).
+    * (token hashes here, the multimodal stub decode, the rolling fingerprint).
     */
   def md5(bytes: Array[Byte]): Array[Byte] = {
     val d = md.get()
     d.reset()
     d.digest(bytes)
   }
+
+  /** The per-thread digest itself, for kernels that hash sub-ranges in a loop
+    * (callers must reset() between uses).
+    */
+  private[functions] def digest(): java.security.MessageDigest = md.get()
 
   /** Bits [16*band, 16*band+16) of md5(utf8(s)) — EXACTLY the value the portable SQL
     * spells as `(strpos(hex,4b+1)-1)*4096 + ... + (strpos(hex,4b+4)-1)` over `md5(s)`'s

@@ -261,17 +261,16 @@ object TextOps {
 
     // Rolling-window fingerprint (winnowing family): slide an 8-char window over the
     // text, hash each window, keep the minimum — robust to local edits, unlike the
-    // whole-document hash above. Window explode + keyed min: scales as a plain
-    // per-document aggregation.
-    "t05_rolling_fp" -> ((s, d) =>
+    // whole-document hash above. One codegen'd scan-local expression (see
+    // graft.functions.RollingFp for why it beats both the explode+groupBy and the
+    // transform+array formulations): no shuffle, no lambdas, no per-window array.
+    "t05_rolling_fp" -> ((s, d) => {
+      graft.functions.RollingFp.register(s)
       documents(s, d)
-        .select(col("doc_id"), col("text"),
-          explode(when(length(col("text")) >= 8, sequence(lit(1), length(col("text")) - 7))
-            .otherwise(array(lit(1)))).as("i"))
-        .select(col("doc_id"), md5(expr("substr(text, i, 8)").cast("binary")).as("w"))
-        .groupBy("doc_id")
-        .agg(min("w").as("fp"), countDistinct("w").cast("long").as("n_windows"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), expr("rolling_fp(text)").as("r"))
+        .select(col("doc_id"), col("r.fp").as("fp"), col("r.n_windows").as("n_windows"))
+        .orderBy("doc_id")
+    }),
 
     // KMV (k-minimum-values) distinct-count sketch over corpus tokens. Unlike HLL,
     // KMV is exactly reproducible across engines: the k smallest md5 values of the
