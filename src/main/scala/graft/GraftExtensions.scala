@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{RollingFp, TokenHash16, VecDot}
+import graft.functions.{RollingFp, SimHash64, TokenHash16, VecDot}
 
 /** Cluster-wide registration of graft's native SQL functions via
   * `spark.sql.extensions=graft.GraftExtensions` — the standard way to ship custom
@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "rolling_fp takes one argument")
         RollingFp(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64 takes one argument")
+        SimHash64(args.head)
       }))
   }
 }

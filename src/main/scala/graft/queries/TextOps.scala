@@ -87,22 +87,15 @@ object TextOps {
     * scheme), so candidate generation stays ~linear instead of N²/64.
     */
   private def simhash(s: SparkSession, d: String): DataFrame = {
-    // All 64 bit-votes in ONE keyed aggregation (64 sum columns over the token rows):
-    // one shuffle of partials, no 64x row explode. The four token_hash16(t, b) calls
-    // land in the aggregate's child projection (native codegen'd expression — md5
-    // digest bytes straight to int, value-identical to the oracle's hex-digit math).
-    val votes = for (b <- 0 to 3; j <- 0 to 15) yield
-      sum(when(expr(s"shiftright(v$b, $j) & 1") === 1, 1).otherwise(-1)).as(s"vote_${b}_$j")
-    val bandSigs = (0 to 3).map(b =>
-      (0 to 15).map(j => when(col(s"vote_${b}_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"s$b"))
-    graft.functions.TokenHash16.register(s)
+    // ONE scan-local codegen'd expression per document (graft.functions.SimHash64):
+    // tokenize + hash + 64 ±1 votes + sign bits in a tight per-row loop. The earlier
+    // aggregation formulation (explode tokens → token_hash16(t, b) → 64 sum columns)
+    // shuffled corpus-sized token rows through a keyed agg — value-identical
+    // (SimHash64Spec pins it), but an exchange this plan simply doesn't have.
+    graft.functions.SimHash64.register(s)
     documents(s, d)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-      .select(col("doc_id") +: (0 to 3).map(b => expr(s"token_hash16(t, $b)").as(s"v$b")): _*)
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id") +: bandSigs: _*)
+      .select(col("doc_id"), expr("simhash64(lower(text))").as("x"))
+      .select(col("doc_id") +: (0 to 3).map(b => col(s"x.s$b").as(s"s$b")): _*)
   }
 
   private val simhashCache =

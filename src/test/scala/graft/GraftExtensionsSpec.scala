@@ -24,13 +24,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT token_hash16('hello'), token_hash16('hello', 3), " +
           "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), " +
-          "rolling_fp('abcdefgh').n_windows").head()
+          "rolling_fp('abcdefgh').n_windows, simhash64('a b').s0").head()
       assert(row.getInt(0) === graft.functions.TokenHash.hash16(
         org.apache.spark.unsafe.types.UTF8String.fromString("hello"), 0))
       assert(row.getInt(1) === graft.functions.TokenHash.hash16(
         org.apache.spark.unsafe.types.UTF8String.fromString("hello"), 3))
       assert(row.getDouble(2) === 11.0)
       assert(row.getLong(3) === 1L)
+      assert(row.getLong(4) >= 0L && row.getLong(4) < 65536L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
