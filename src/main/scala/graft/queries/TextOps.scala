@@ -61,18 +61,20 @@ object TextOps {
     * band's hashes joined in j order.
     */
   private def bands(s: SparkSession, d: String): DataFrame = {
-    // All 8 minhashes in ONE keyed aggregation (8 min columns over the shingle rows)
-    // instead of an 8x explode + two shuffles — identical values, one shuffle, no row
-    // blowup. Band signatures are then plain column arithmetic, stacked via a 4-element
-    // array explode (4x on ~#docs rows, not on shingle rows).
-    val mins = (0 to 7).map(j =>
-      min(md5(concat(lit(j.toString), lit("|"), col("shingle")).cast("binary"))).as(s"mh$j"))
+    // ONE scan-local codegen'd expression per document (graft.functions.MinHash8):
+    // the 8 min-hashes never leave the scan — the earlier keyed agg of 8 mins
+    // shuffled partials over corpus-sized shingle rows (MinHash8Spec pins value
+    // equality). NULL minhash = no shingles (< 3 tokens), matching the agg's
+    // absent-group behavior. Band signatures are plain column arithmetic, stacked
+    // via a 4-element array explode (4x on ~#docs rows, not on shingle rows).
+    graft.functions.MinHash8.register(s)
     val sigs = (0 to 3).map(b =>
       struct(lit(b.toLong).as("band"),
-        md5(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary")).as("sig")))
-    shinglesCached(s, d)
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+        md5(concat_ws(",", col(s"m.mh${2 * b}"), col(s"m.mh${2 * b + 1}"))
+          .cast("binary")).as("sig")))
+    documents(s, d)
+      .select(col("doc_id"), expr("minhash8(text)").as("m"))
+      .filter(col("m").isNotNull)
       .select(col("doc_id"), explode(array(sigs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
