@@ -50,22 +50,116 @@ object VectorOps {
       when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
 
   /** (vec_id, embedding, bi, bucket) — one row per vector per band. */
-  private def banded(emb: DataFrame): DataFrame =
+  private[queries] def banded(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("bi"), signBand(col("embedding"), b * bandBits).as("bucket"))): _*)).as("x"))
       .select(col("vec_id"), col("embedding"),
         col("x.bi").as("bi"), col("x.bucket").as("bucket"))
 
+  /** cos between two array<float> columns, full double accumulation via vec_dot. */
+  private def cosOf(a: String, b: String): Column =
+    expr(s"vec_dot($a, $b)") /
+      (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
+
+  /** Nearest-centroid assignment: one broadcast cross-score of the corpus against
+    * the K-row centroid frame + a per-vector rank-1 window. Ranking cosines round
+    * to 9 dp on BOTH engines: the argmax pick must not depend on sub-ulp
+    * accumulation-order differences vs DuckDB — after rounding, near-ties collapse
+    * to equal and the cid tie-break decides identically on both sides.
+    */
+  def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosOf("embedding", "ce"), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+
+  /** One deterministic Lloyd refinement: per-dim mean of each inverted list,
+    * rounded to 6 dp then cast to float, so the trained quantizer is bit-identical
+    * across engines and accumulation orders. One broadcast cross-score + one
+    * (cid, pos)-keyed agg — both shuffle-light at any corpus size.
+    */
+  private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(emb, cents)
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy("cid").agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m").cast("float")).as("ce"))
+
+  /** The K centroids after `lloydIters` refinements. Seeds are vec_id 1..k (a
+    * production build k-means-trains offline from a sample; everything downstream
+    * is identical — the seed choice only picks WHICH centroids, not the plan).
+    */
+  def ivfCentroids(emb: DataFrame, k: Int, lloydIters: Int): DataFrame = {
+    val seeds = emb.filter(col("vec_id").between(1, k))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
+  }
+
+  /** The query's `nprobe` nearest centroids (the probe set). */
+  def ivfProbe(cents: DataFrame, q: DataFrame, nprobe: Int): DataFrame =
+    cents.crossJoin(broadcast(q))
+      .withColumn("ccos", round(cosOf("ce", "qe"), 9))
+      .orderBy(desc("ccos"), asc("cid")).limit(nprobe)
+      .select("cid")
+
+  /** IVF ANN search, fully parameterized: K coarse centroids (`lloydIters` Lloyd
+    * refinements of the deterministic seeds), `nprobe` probed lists, exact top-`topK`
+    * rescoring of the probed lists only. s03 pins (K=16, nprobe=4, iters=0) and s04
+    * (K=16, nprobe=4, iters=1) for oracle determinism; at scale K grows ~sqrt(N)
+    * (so each list stays ~sqrt(N) rows and an nprobe-probe scans nprobe/K of the
+    * corpus) — IvfScalingSpec runs K=64/iters=2 and asserts the probed fraction.
+    * The assignment `cid` is the storage partition key at 100 TB (BucketingSpec
+    * pins listing-time pruning on it); probing prunes the candidate scan to the
+    * probed lists only.
+    */
+  def ivfSearch(s: SparkSession, d: String, k: Int, nprobe: Int,
+      lloydIters: Int, topK: Int = 5): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = embeddings(s, d)
+    val cents = ivfCentroids(emb, k, lloydIters)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val probed = ivfProbe(cents, q, nprobe)
+    ivfAssign(emb, cents).join(broadcast(probed), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosOf("embedding", "qe"), 5).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  /** Exact cosine top-k — one scan, one broadcast of the query vector, one top-k
+    * sort. The exactness baseline every ANN variant's recall is measured against.
+    */
+  def exactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), dotCos.as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
-    "s01_cosine_topk" -> ((s, d) => {
-      graft.functions.VecDot.register(s)
-      val emb = embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      emb.crossJoin(broadcast(q))
-        .select(col("vec_id"), dotCos.as("cos"))
-        .orderBy(desc("cos"), asc("vec_id"))
-        .limit(10)
+    "s01_cosine_topk" -> ((s, d) => exactTopK(s, d, 10)),
+
+    // ANN recall measurement: recall@5 of each approximate variant against s01's
+    // exact top-5 — a count of the id intersection, so the metric is itself a
+    // deterministic, oracle-checkable query (ANN without measured recall is
+    // unfalsifiable). One tiny row per variant; AnnRecallSpec asserts >= 0.8.
+    "s05_ann_recall" -> ((s, d) => {
+      val exact = exactTopK(s, d, 5).select("vec_id")
+      def recallOf(name: String, ann: DataFrame): DataFrame =
+        ann.select("vec_id").join(exact, "vec_id")
+          .agg((count(lit(1)) / lit(5.0)).as("recall"))
+          .select(lit(name).as("variant"), col("recall"))
+      recallOf("bucket", queries("s02_ann_bucket")(s, d))
+        .unionByName(recallOf("ivf", queries("s03_ann_ivf")(s, d)))
+        .unionByName(recallOf("ivf_trained", queries("s04_ann_ivf_trained")(s, d)))
+        .orderBy("variant")
     }),
 
     // ANN: probe the query's 2 band buckets (broadcast 2-row build side), score the
@@ -82,81 +176,13 @@ object VectorOps {
         .limit(5)
     }),
 
-    // IVF ANN: K=16 coarse centroids (pinned to vec_id 1..16 for determinism — a
-    // production build k-means-trains them offline; everything downstream is
-    // identical), one broadcast cross-score to build the inverted lists, nprobe=4
-    // probing. The assignment is the partition key at scale; probing prunes the
-    // candidate scan to the probed lists only.
-    "s03_ann_ivf" -> ((s, d) => {
-      graft.functions.VecDot.register(s)
-      val emb = embeddings(s, d)
-      val cent = emb.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      def cosOf(a: String, b: String): Column =
-        expr(s"vec_dot($a, $b)") /
-          (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
-      // ranking cosines round to 9 dp on BOTH engines: the argmax/probe pick must
-      // not depend on sub-ulp accumulation-order differences vs DuckDB — after
-      // rounding, near-ties collapse to equal and the cid tie-break decides
-      // identically on both sides
-      val assigned = emb.crossJoin(broadcast(cent))
-        .withColumn("ccos", round(cosOf("embedding", "ce"), 9))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val probed = cent.crossJoin(broadcast(q))
-        .withColumn("ccos", round(cosOf("ce", "qe"), 9))
-        .orderBy(desc("ccos"), asc("cid")).limit(4)
-        .select("cid")
-      assigned.join(broadcast(probed), "cid")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(cosOf("embedding", "qe"), 5).as("cos"))
-        .orderBy(desc("cos"), asc("vec_id"))
-        .limit(5)
-    }),
+    // IVF ANN (oracle-pinned variant of [[ivfSearch]]: K=16, nprobe=4, no Lloyd
+    // refinement — seeds ARE the quantizer).
+    "s03_ann_ivf" -> ((s, d) => ivfSearch(s, d, k = 16, nprobe = 4, lloydIters = 0)),
 
-    // IVF with TRAINED centroids: one deterministic Lloyd refinement of s03's seeds
-    // (assign to seeds -> per-dim mean per list -> reassign + probe + exact score).
-    // Per-dim means round to 6 dp then cast to float, so the trained quantizer is
-    // bit-identical across engines and accumulation orders; everything downstream is
-    // s03's plan shape. At scale the refinement is one extra broadcast cross-score
-    // and one (cid, dim)-keyed agg — both shuffle-light; more Lloyd iterations just
-    // repeat the same two stages.
-    "s04_ann_ivf_trained" -> ((s, d) => {
-      graft.functions.VecDot.register(s)
-      val emb = embeddings(s, d)
-      def cosOf(a: String, b: String): Column =
-        expr(s"vec_dot($a, $b)") /
-          (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
-      // nearest-centroid assignment (9-dp rounding: see s03)
-      def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cents))
-          .withColumn("ccos", round(cosOf("embedding", "ce"), 9))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
-      val seeds = emb.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val trained = assign(seeds)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(round(avg(col("x").cast("double")), 6).as("m"))
-        .groupBy("cid").agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m").cast("float")).as("ce"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val probed = trained.crossJoin(broadcast(q))
-        .withColumn("ccos", round(cosOf("ce", "qe"), 9))
-        .orderBy(desc("ccos"), asc("cid")).limit(4)
-        .select("cid")
-      assign(trained).join(broadcast(probed), "cid")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(cosOf("embedding", "qe"), 5).as("cos"))
-        .orderBy(desc("cos"), asc("vec_id"))
-        .limit(5)
-    }),
+    // IVF with TRAINED centroids (oracle-pinned variant of [[ivfSearch]]: one Lloyd
+    // refinement of s03's seeds; more iterations just repeat the same two stages).
+    "s04_ann_ivf_trained" -> ((s, d) => ivfSearch(s, d, k = 16, nprobe = 4, lloydIters = 1)),
 
     // Embedding-cosine near-dup (dedup family #5): banded sign-LSH candidate pairs
     // (same (band, bucket) equi-join, id_a < id_b — never all-pairs), scored exactly,
@@ -198,25 +224,27 @@ object VectorOps {
       s"SELECT vec_id, embedding, $b AS bi, $bits AS bucket FROM embeddings"
     }.mkString("bb AS (", " UNION ALL ", ")")
 
-  val oracles: Map[String, String] = Map(
-    "s01_cosine_topk" ->
-      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
-        "z AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y FROM embeddings e CROSS JOIN q), " +
-        "s AS (SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
-        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
-        "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
-        s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 10"),
-    "s02_ann_bucket" ->
-      (s"WITH $bandedSql, " +
+  /** s01's exact top-k SQL, limit-parameterized so the recall oracle can reuse it. */
+  private def exactTopSql(k: Int): String =
+    "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      "z AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y FROM embeddings e CROSS JOIN q), " +
+      "s AS (SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+      "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
+      "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
+      s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT $k"
+
+  private val S02Sql: String =
+    (s"WITH $bandedSql, " +
         "q AS (SELECT bi, bucket, embedding AS qe FROM bb WHERE vec_id = 0), " +
         "c AS (SELECT DISTINCT b.vec_id, b.embedding, q.qe FROM bb b JOIN q ON b.bi = q.bi AND b.bucket = q.bucket), " +
         "z AS (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(c.qe) AS y FROM c), " +
         "s AS (SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
         "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0))) " +
-        s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5"),
-    "s03_ann_ivf" ->
-      ("WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 16), " +
+        s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5")
+
+  private val S03Sql: String =
+    ("WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 16), " +
         "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         // inverted lists: nearest centroid per vector
         "az AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM embeddings e CROSS JOIN cent c), " +
@@ -238,8 +266,9 @@ object VectorOps {
         "s AS (SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
         "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
-        s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5"),
-    "s04_ann_ivf_trained" -> {
+        s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5")
+
+  private val S04Sql: String = {
       // nearest-centroid assignment from centroid CTE `c` (mirrors s03's assign)
       def assignSql(cents: String, az: String, sc: String, out: String) =
         s"$az AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y " +
@@ -270,7 +299,24 @@ object VectorOps {
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY vec_id), " +
         "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
         s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5"
-    },
+  }
+
+  /** One recall@5 row per ANN variant: count of the id intersection with the exact
+    * top-5. WITH-inside-subquery keeps each variant's full oracle verbatim.
+    */
+  private def recallTermSql(name: String, annSql: String): String =
+    s"SELECT '$name' AS variant, count(*) / 5.0 AS recall " +
+      s"FROM ($annSql) a JOIN (${exactTopSql(5)}) e USING (vec_id)"
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" -> exactTopSql(10),
+    "s02_ann_bucket" -> S02Sql,
+    "s03_ann_ivf" -> S03Sql,
+    "s04_ann_ivf_trained" -> S04Sql,
+    "s05_ann_recall" ->
+      Seq("bucket" -> S02Sql, "ivf" -> S03Sql, "ivf_trained" -> S04Sql)
+        .map { case (n, q) => recallTermSql(n, q) }
+        .mkString("SELECT variant, recall FROM (", " UNION ALL ", ") u ORDER BY variant"),
     "d08_embed_neardup" ->
       (s"WITH $bandedSql, " +
         "p AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS ea, b2.embedding AS eb " +
