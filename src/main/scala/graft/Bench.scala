@@ -23,7 +23,7 @@ object Bench {
     // "calibration" — this host's throughput drifts ±2-3× run to run, and the
     // round-4 driver bench was 9× a clean run on identical code; consumers should
     // normalize per-query numbers by calibration (see BASELINE.md).
-    val calibration: Double = {
+    def calibrationWorkload(): Double = {
       val t0 = System.nanoTime()
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -38,6 +38,7 @@ object Bench {
       spark.read.parquet(s"$tmp/w").filter(col("k") > 3).count()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibration: Double = calibrationWorkload()
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -95,7 +96,11 @@ object Bench {
       case (k, _, Some(e)) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum + cacheBuild
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"calibration":$calibration,"sf":"$sfDir","failed":${failed.length}}""")
+    // the SAME fixed workload re-timed after the last query: one start-of-run sample
+    // can't see mid-run contention drift (the round-5 driver run started ~10x
+    // contended and got ~27x worse by cache_build); start+end brackets the run
+    val calibrationEnd: Double = calibrationWorkload()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"calibration":$calibration,"calibration_end":$calibrationEnd,"sf":"$sfDir","failed":${failed.length}}""")
     Caches.clearAll()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
