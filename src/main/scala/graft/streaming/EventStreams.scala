@@ -75,8 +75,12 @@ object EventStreams {
     * events extend sessions backwards and can BRIDGE two pending sessions into one,
     * exactly like session_window's merging state store).
     *
-    * Batch (`events.isStreaming == false`): each user's events arrive as one group;
-    * every session is emitted, no state survives.
+    * Batch (`events.isStreaming == false`): groups are pre-split by (user, DAY), so
+    * no invocation ever buffers more than one user-day of events — a hot user with
+    * an unbounded history cannot OOM an executor. Sessions split at a day boundary
+    * are re-merged relationally afterwards by gaps-and-islands over the per-SESSION
+    * rows (orders of magnitude fewer than events), exactly e06's trick moved
+    * inside; results are identical to the un-split formulation.
     *
     * Streaming: ALL pending sessions persist in GroupState between micro-batches,
     * and a session is emitted ONLY once the watermark passes `session_end + gap` —
@@ -87,11 +91,12 @@ object EventStreams {
     * ([[sessionizeCustomStream]] does). Sessions are therefore emitted exactly once,
     * complete — never as split or retracted partials.
     *
-    * At scale: state is per-user and partitioned by the groupByKey shuffle. The
-    * per-invocation sort buffers one user's events for one micro-batch (batch mode:
-    * one user's whole history) plus the watermark-pending sessions — the same bound
-    * session_window's merging state carries; a hot key beyond memory needs a
-    * pre-split (e.g. salt by day) in either formulation.
+    * At scale: state is per-key and partitioned by the groupByKey shuffle. The
+    * streaming per-invocation sort buffers one user's events for ONE MICRO-BATCH
+    * (bounded by trigger interval × ingest rate) plus the watermark-pending
+    * sessions — the same bound session_window's merging state carries; the batch
+    * path's (user, day) pre-split bounds its buffer structurally
+    * (EventStreamsSpec's hot-user test runs 10⁶ single-user events through it).
     */
   def sessionizeCustom(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
     val spark = events.sparkSession
@@ -129,29 +134,55 @@ object EventStreams {
           }
         }.reverse
     }
-    val timeoutConf =
-      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    if (!streaming) {
+      // Hot-key-safe batch path: group on (user, day-of-ts) so one invocation
+      // buffers at most one user-day of events, then re-merge day-boundary splits
+      // with gaps-and-islands over the per-session rows. A session crossing
+      // midnight was split at an event boundary, so adjacent pieces closer than
+      // the gap re-merge; sessions within one day are >= gap apart by
+      // construction, so they never wrongly merge. The merge window runs over
+      // session summaries, not events — per-user row counts there are harmless.
+      val dayMicros = 86400000000L
+      val perDay = ds.groupByKey(e => (e.user_id, Math.floorDiv(e.tsMicros, dayMicros)))
+        .flatMapGroups { (key: (Long, Long), evs: Iterator[Ev]) =>
+          mergeAll(Nil, evs.toSeq).iterator
+            .map(st => (key._1, st.start, st.last, st.n, st.sum))
+        }
+        .toDF("user_id", "start", "last", "n", "sum")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("start")
+      return perDay
+        .withColumn("__ns",
+          when(col("start") - lag("last", 1).over(w) >= gapMicros, 1).otherwise(0))
+        .withColumn("__island", sum("__ns").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("user_id", "__island")
+        .agg(sum("n").as("n_events"),
+          timestamp_micros(min("start")).as("session_start"),
+          timestamp_micros(max("last")).as("session_end"),
+          sum("sum").as("session_value"))
+        .select("user_id", "n_events", "session_start", "session_end", "session_value")
+    }
+    val timeoutConf = GroupStateTimeout.EventTimeTimeout
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append, timeoutConf) { (user, evs, state: GroupState[SessionsState]) =>
         val merged = mergeAll(state.getOption.map(_.sessions).getOrElse(Nil), evs.toSeq)
-        if (!streaming) merged.map(emit(user, _)).iterator
+        // a session is final iff no admissible future event (ts >= watermark) can
+        // reach it: last + gap <= watermark. Same rule on data arrival and timeout.
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (done, open) = merged.partition(s => s.last + gapMicros <= wmMicros)
+        if (open.isEmpty) state.remove()
         else {
-          // a session is final iff no admissible future event (ts >= watermark) can
-          // reach it: last + gap <= watermark. Same rule on data arrival and timeout.
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          val (done, open) = merged.partition(s => s.last + gapMicros <= wmMicros)
-          if (open.isEmpty) state.remove()
-          else {
-            state.update(SessionsState(open))
-            // +1ms so the ms-floored target lands strictly past last + gap, and
-            // clamped strictly past the watermark (Spark rejects earlier targets)
-            state.setTimeoutTimestamp(math.max(
-              open.map(_.last).min / 1000 + gapMicros / 1000 + 1,
-              wmMicros / 1000 + 1))
-          }
-          done.map(emit(user, _)).iterator
+          state.update(SessionsState(open))
+          // +1ms so the ms-floored target lands strictly past last + gap, and
+          // clamped strictly past the watermark (Spark rejects earlier targets)
+          state.setTimeoutTimestamp(math.max(
+            open.map(_.last).min / 1000 + gapMicros / 1000 + 1,
+            wmMicros / 1000 + 1))
         }
+        done.map(emit(user, _)).iterator
       }
       .toDF()
   }

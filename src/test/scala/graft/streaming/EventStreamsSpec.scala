@@ -56,6 +56,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(custom === builtin)
   }
 
+  test("batch custom sessionizer is hot-key-safe: 10^6 events for ONE user complete " +
+      "with per-group buffering bounded to a user-day") {
+    // one user, a million events, 10 s apart -> ~116 days, ONE unbroken session
+    // (10 s < 30 min). The (user, day) pre-split means no flatMapGroups invocation
+    // buffers more than 8640 events (one day at this rate) — the un-split
+    // formulation would materialize all 10^6 in one executor Seq. Correctness:
+    // day-boundary splits must re-merge into exactly one session end-to-end.
+    val n = 1000000
+    val base = Timestamp.valueOf("2024-01-01 00:00:05").getTime * 1000L
+    val events = spark.range(n).select(
+      lit(7L).as("user_id"),
+      timestamp_micros(lit(base) + col("id") * 10000000L).as("ts"),
+      lit(1.0).as("value"))
+    val out = EventStreams.sessionizeCustom(events, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+    assert(out.length === 1, s"expected one merged session, got ${out.length}")
+    val (user, count, start, end) = out.head
+    assert(user === 7L && count === n.toLong)
+    assert(start === new Timestamp(base / 1000))
+    assert(end === new Timestamp(base / 1000 + (n - 1) * 10000L))
+    // same events with an hour-long gap every 100k: day-merge must still find
+    // exactly the 10 gap-separated sessions
+    val gappy = spark.range(n).select(
+      lit(7L).as("user_id"),
+      timestamp_micros(lit(base) + col("id") * 10000000L +
+        (col("id") / 100000).cast("long") * 3600000000L).as("ts"),
+      lit(1.0).as("value"))
+    val sessions = EventStreams.sessionizeCustom(gappy, "30 minutes")
+      .select("n_events").collect().map(_.getLong(0))
+    assert(sessions.length === 10 && sessions.forall(_ === 100000L))
+  }
+
   test("custom-state sessionizer withholds pending sessions across micro-batches " +
       "and finalizes them only when the watermark passes session_end + gap") {
     implicit val sql = spark.sqlContext
