@@ -182,11 +182,83 @@ object Ops {
   /** Flame-graph geometry (reference HD.py:430-540, minus matplotlib): one row per
     * node per layer with `(id, depth, x0, width, procedure, labeled)`. First layer is
     * normalized to 2π; each deeper layer is sibling-normalized within its parent and
-    * offset by the within-parent cumulative sum plus the parent's offset. A driver
-    * loop over depth layers (bounded by tree depth); each layer is one windowed plan
-    * plus a join against the previous layer's geometry.
+    * offset by the within-parent cumulative sum plus the parent's offset.
+    *
+    * Delegates to [[flameGeometryOneShot]] — ONE declarative plan, no per-layer
+    * driver jobs; the layer-join formulation is kept as
+    * [[flameGeometryIterative]] (the reference-shaped equivalence baseline,
+    * proven equal on both fixtures by ParitySpec).
     */
   def flameGeometry(pf: ProfileFrame, prefix: Seq[Long] = Nil, column: Option[String] = None,
+      minDepth: Option[Int] = None, maxDepth: Option[Int] = None): DataFrame =
+    flameGeometryOneShot(pf, prefix, column, minDepth, maxDepth)
+
+  /** One-shot flame geometry: the fully declarative formulation — zero driver-side
+    * iteration (the loop version runs one windowed job per tree level, ~25
+    * localCheckpoint'ed jobs on the fixtures, and its per-job overhead dominates).
+    *
+    * Derivation: let r(p) = v(p) / Σ_{siblings of p} v be a node's share of its
+    * normalization group (the FULL first layer for depth `lo`, its parent's
+    * children below), and b(p) the within-group fraction strictly before p in id
+    * order. Unrolling the layer recursion width = r·parentWidth,
+    * x0 = parentX0 + b·parentWidth gives, for a node n at depth d:
+    *   width(n) = 2π · Π_{k=lo..d} r(prefix_k(n))
+    *   x0(n)    = 2π · Σ_{k=lo..d} b(prefix_k(n)) · Π_{j=lo..k-1} r(prefix_j(n))
+    * Three keyed stages, mirroring [[hotPathOneShot]]'s playbook: a per-group
+    * window computing (r, b) once per NODE, a prefix explode (O(depth) rows per
+    * node), and one ordered `aggregate` per node folding its ancestor chain —
+    * no collect, no loop, no per-layer jobs; scales to any depth/width.
+    */
+  def flameGeometryOneShot(pf: ProfileFrame, prefix: Seq[Long] = Nil,
+      column: Option[String] = None, minDepth: Option[Int] = None,
+      maxDepth: Option[Int] = None): DataFrame = {
+    val colName = column.getOrElse(pf.meta.percentageColumn + " ratio of parent")
+    val lo = minDepth.getOrElse(prefix.length + 1)
+    require(lo > prefix.length, s"minDepth $lo must exceed prefix length ${prefix.length}")
+    val twoPi = 2.0 * math.Pi
+    var base = atPaths(pf, prefix = prefix).df
+      .filter(size(col("callpath")) >= lo)
+      .select(col("id"), col("callpath"), col(colName).as("__v"), col("procedure"))
+    maxDepth.foreach(hi => base = base.filter(size(col("callpath")) <= hi))
+    // normalization group key: depth-lo nodes form ONE global group (the full
+    // circle — the loop's partitionBy(id*0)); deeper nodes group under their parent
+    val keyed = base.withColumn("__g",
+      when(size(col("callpath")) === lo, array(lit(-1L)))
+        .otherwise(slice(col("callpath"), lit(1), size(col("callpath")) - 1)))
+    val wG = Window.partitionBy("__g")
+    val rb = keyed.select(col("callpath").as("__pfx"),
+      (col("__v") / sum("__v").over(wG)).as("__r"),
+      (coalesce(sum("__v").over(wG.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
+        / sum("__v").over(wG)).as("__b"))
+    val prefixes = base
+      .select(col("id"), col("callpath"), col("procedure"),
+        size(col("callpath")).as("__d"))
+      .withColumn("__k", explode(sequence(lit(lo), col("__d"))))
+      .select(col("id"), col("__d"), col("procedure"),
+        col("__k"), slice(col("callpath"), lit(1), col("__k")).as("__pfx"))
+    // ordered ancestor fold: width = prod of r top-down, x0 = sum of b·(prefix prod)
+    val acc = prefixes.join(rb, "__pfx")
+      .groupBy("id", "__d", "procedure")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__k"), col("__r"), col("__b")))),
+        struct(lit(1.0).as("p"), lit(0.0).as("x")),
+        (a, e) => struct(
+          (a.getField("p") * e.getField("__r")).as("p"),
+          (a.getField("x") + e.getField("__b") * a.getField("p")).as("x"))).as("__a"))
+    acc.select(col("id"), col("__d").cast("int").as("depth"),
+      (col("__a.x") * twoPi).as("x0"),
+      (col("__a.p") * twoPi).as("width"),
+      col("procedure"),
+      (col("__a.p") * twoPi >= lit(math.Pi) / (col("__d") - lo + 32)).as("labeled"))
+  }
+
+  /** The layer-join flame geometry: a driver loop over depth layers (bounded by
+    * tree depth); each layer is one windowed plan plus a join against the previous
+    * layer's geometry. Kept as the reference-shaped equivalence baseline for
+    * [[flameGeometryOneShot]] in ParitySpec.
+    */
+  def flameGeometryIterative(pf: ProfileFrame, prefix: Seq[Long] = Nil, column: Option[String] = None,
       minDepth: Option[Int] = None, maxDepth: Option[Int] = None): DataFrame = {
     val colName = column.getOrElse(pf.meta.percentageColumn + " ratio of parent")
     val lo = minDepth.getOrElse(prefix.length + 1)

@@ -198,6 +198,36 @@ class ParitySpec extends AnyFunSuite {
     }
   }
 
+  test("one-shot flame geometry equals the layer-join formulation on both fixtures") {
+    assume(hasFixtures)
+    for ((pf, key) <- Seq((pf1, "experiment1"), (pf2, "experiment2"))) {
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "depth", "x0", "width", "labeled")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+        .toMap
+      val loop = canon(Ops.flameGeometryIterative(pf))
+      val oneShot = canon(Ops.flameGeometryOneShot(pf))
+      assert(oneShot.keySet === loop.keySet, s"$key: node/layer set differs")
+      oneShot.foreach { case (k, (x, w, l)) =>
+        val (lx, lw, ll) = loop(k)
+        // the unrolled product re-associates the float multiplies; 1e-9 relative
+        assert(relEq(x, lx) && relEq(w, lw) && l === ll,
+          s"$key $k: one-shot ($x,$w,$l) vs loop ($lx,$lw,$ll)")
+      }
+      // spot-check a restricted window too (prefix + depth bounds hit both the
+      // global-group and per-parent normalization paths)
+      val loopW = canon(Ops.flameGeometryIterative(pf, minDepth = Some(3), maxDepth = Some(6)))
+      val oneW = canon(Ops.flameGeometryOneShot(pf, minDepth = Some(3), maxDepth = Some(6)))
+      assert(oneW.keySet === loopW.keySet, s"$key: bounded node/layer set differs")
+      oneW.foreach { case (k, (x, w, _)) =>
+        val (lx, lw, _) = loopW(k)
+        assert(relEq(x, lx) && relEq(w, lw), s"$key bounded $k")
+      }
+    }
+  }
+
   test("flame-graph geometry matches the reference layer by layer") {
     assume(hasFixtures)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
