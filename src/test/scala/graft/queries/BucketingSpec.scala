@@ -85,6 +85,43 @@ class BucketingSpec extends AnyFunSuite {
     assert(postScanFilters.isEmpty, s"probe did not prune at listing time:\n$plan")
   }
 
+  test("LSH bands stored partitionBy(bi, bucket) prune a probe to the probed buckets") {
+    // the s02/d08 storage story VectorOps' scaladoc promises, made literal: the
+    // (band, bucket) pair as the storage partition key means probing a query's
+    // band buckets reads ONLY those buckets' files at LISTING time — at 100 TB
+    // the exact-scoring candidate scan never touches the other ~4095 buckets/band
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-layout").toString
+    val banded = VectorOps.banded(Tables.embeddings(s, "/root/testdata/sf0.001"))
+    banded.write.mode("overwrite").partitionBy("bi", "bucket").parquet(dir)
+    // bit-string bucket values ("0110…") must stay strings, not be inferred as
+    // leading-zero-stripped integers
+    val prevInfer = s.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val stored = s.read.parquet(dir)
+      // the query's own band buckets (what s02 probes / d08 co-groups on)
+      val qb = banded.filter($"vec_id" === 0).select("bi", "bucket")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      val probe = stored.filter(qb.map { case (bi, b) =>
+        $"bi" === bi.toString && $"bucket" === b
+      }.reduce(_ || _))
+        .select("vec_id", "embedding")
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+      val postScanFilters = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(postScanFilters.isEmpty, s"band-bucket probe did not prune at listing time:\n$plan")
+      // and the pruned read IS the candidate set the in-memory formulation scores
+      val expected = banded.join(banded.filter($"vec_id" === 0).select("bi", "bucket"),
+        Seq("bi", "bucket")).select("vec_id").distinct().count()
+      assert(probe.select("vec_id").distinct().count() === expected)
+    } finally s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", prevInfer)
+  }
+
   test("aggregation on the bucket key also skips the shuffle") {
     val s = spark
     import s.implicits._
