@@ -156,7 +156,11 @@ object Ops {
     require(pf.df.columns.contains(base), s"missing hot-path column $base")
     val winners = pf.df
       .filter(size(col("callpath")) > 0)
-      .withColumn("__parent", slice(col("callpath"), lit(1), size(col("callpath")) - 1))
+      // greatest(..., 0): the size>0 filter already excludes the root at runtime,
+      // but on literal/in-memory sources constant folding evaluates the slice
+      // BEFORE the filter and a -1 length aborts the whole plan
+      .withColumn("__parent",
+        slice(col("callpath"), lit(1), greatest(size(col("callpath")) - 1, lit(0))))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__parent").orderBy(desc(s"`$base`"), asc("id"))))
       .filter(col("__rk") === 1 && col(s"`$base`") >= threshold)
@@ -224,7 +228,9 @@ object Ops {
     // circle — the loop's partitionBy(id*0)); deeper nodes group under their parent
     val keyed = base.withColumn("__g",
       when(size(col("callpath")) === lo, array(lit(-1L)))
-        .otherwise(slice(col("callpath"), lit(1), size(col("callpath")) - 1)))
+        // greatest(..., 0) keeps constant folding from evaluating a -1 length on
+        // literal sources (the size >= lo filter excludes those rows at runtime)
+        .otherwise(slice(col("callpath"), lit(1), greatest(size(col("callpath")) - 1, lit(0)))))
     val wG = Window.partitionBy("__g")
     val rb = keyed.select(col("callpath").as("__pfx"),
       (col("__v") / sum("__v").over(wG)).as("__r"),
