@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence harness: synthesizes an sf1 dataset (10× sf0.1) and measures how
+  * the dedup/ANN candidate-generation stages grow with corpus size, so the "~linear
+  * at 100 TB" claims in SURVEY §8 are measurements, not plan-shape arguments.
+  *
+  * == sf1 synthesis ==
+  * sf1 is 10 deterministic replicas of the driver's sf0.1 tables (seed-free: every
+  * transform is a pure function of (replica, row)). Keys are offset by
+  * `replica × (max_key + 1)` with foreign keys offset by their parent's stride, so
+  * referential integrity and per-key group sizes (orders per customer, events per
+  * user, lines per order) are preserved exactly — group-size distributions scale
+  * the way a real 10× corpus would (more keys, same shape), not by inflating hot
+  * keys.
+  *
+  * Two tables need more than key offsets, because replicating CONTENT verbatim
+  * would manufacture cross-replica near-duplicates (10 copies of every doc → each
+  * near-dup cluster grows 10× wider → candidate pairs grow 100×, which says nothing
+  * about the engine — it's a property of copy-pasted data):
+  *  - documents: replica r > 0 tags every word with `~r`. Within a replica, both
+  *    sides of every pair get the same tag, so word-3-gram Jaccard, MinHash
+  *    signatures' collision structure, and SimHash hamming geometry are preserved
+  *    exactly; across replicas, every shingle/token differs, so cross-replica
+  *    near-dup structure vanishes. The corpus is 10 independent shards of the same
+  *    document distribution — what 10× more real data looks like.
+  *  - embeddings: replica r > 0 applies the orthogonal transform
+  *    `y[i] = sign(r, i) · x[(i + r) mod dim]` (circular dimension shift + a
+  *    deterministic per-(replica, dim) sign flip). Orthogonality preserves every
+  *    within-replica dot product and norm exactly — cosine geometry, and therefore
+  *    near-dup pairs and top-k structure, replicate unchanged — while cross-replica
+  *    cosines decorrelate to noise.
+  *
+  * == what gets measured ==
+  * For sf0.01 / sf0.1 / sf1: corpus sizes and the candidate-pair counts of the
+  * three LSH families (d04 MinHash bands, d07 SimHash 16-bit bands, d08 sign-LSH
+  * 12-bit bands), as candidates-per-doc ratios. MinHash band signatures are
+  * 128-bit, so collisions require genuine similarity and the ratio must stay flat.
+  * The bit-banded families (d07/d08) have finite bucket spaces (2^16 / 2^12 per
+  * band), so RANDOM collisions contribute a quadratic term ~N²/buckets on top of
+  * the linear true-pair term; the measurement pins where that term starts to
+  * matter and the widened-band variant (the documented scale knob) is measured
+  * alongside to show the mitigation works. Also measured: IVF probed-fraction at
+  * K=64/nprobe=4 on sf1 (the listing-pruning claim) and s05 ANN recall at sf1.
+  *
+  * Emits one JSON line per measurement (grep `^SCALECHECK`); SCALECHECK.md
+  * records the committed results.
+  */
+object ScaleCheck {
+  case class EmbRow(vec_id: Long, embedding: Array[Float], label: Int)
+
+  private def sign(r: Int, i: Int): Float = {
+    val h = (i + 1) * 2654435761L ^ (r.toLong * 0x9E3779B97F4A7C15L)
+    if (((h >>> 17) & 1L) == 1L) -1f else 1f
+  }
+
+  /** Write `reps` deterministic replicas of every sf table from `src` into `dst`. */
+  def synthesize(s: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    import s.implicits._
+    // events carries ns-epoch longs (see Tables.events); read raw so the replica
+    // keeps the producer's physical type and Tables.events reads sf1 identically
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def rd(name: String) = s.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L
+    def repl(df: DataFrame, offs: (String, Long)*): DataFrame =
+      (0 until reps).map { r =>
+        offs.foldLeft(df) { case (d, (c, st)) => d.withColumn(c, col(c) + lit(st * r)) }
+      }.reduce(_ unionByName _)
+
+    // dimensions stay fixed (as in TPC-H: region/nation don't scale)
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    val cust = rd("customer"); val stC = stride(cust, "c_custkey")
+    val supp = rd("supplier"); val stS = stride(supp, "s_suppkey")
+    val part = rd("part"); val stP = stride(part, "p_partkey")
+    val ord = rd("orders"); val stO = stride(ord, "o_orderkey")
+    wr(repl(cust, "c_custkey" -> stC), "customer")
+    wr(repl(supp, "s_suppkey" -> stS), "supplier")
+    wr(repl(part, "p_partkey" -> stP), "part")
+    wr(repl(ord, "o_orderkey" -> stO, "o_custkey" -> stC), "orders")
+    wr(repl(rd("lineitem"),
+      "l_orderkey" -> stO, "l_partkey" -> stP, "l_suppkey" -> stS), "lineitem")
+
+    val ev = rd("events")
+    wr(repl(ev, "event_id" -> stride(ev, "event_id"), "user_id" -> stride(ev, "user_id")),
+      "events")
+
+    val docs = rd("documents"); val stD = stride(docs, "doc_id")
+    wr((0 until reps).map { r =>
+      if (r == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(stD * r))
+        .withColumn("text",
+          expr(s"array_join(transform(split(text, ' '), w -> concat(w, '~$r')), ' ')"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_ unionByName _), "documents")
+
+    val emb = rd("embeddings").as[EmbRow]
+    val stV = stride(emb.toDF(), "vec_id")
+    wr((0 until reps).map { r =>
+      if (r == 0) emb.toDF()
+      else {
+        val rr = r
+        emb.map { e =>
+          val n = e.embedding.length
+          val y = Array.tabulate(n)(i => sign(rr, i) * e.embedding((i + rr) % n))
+          EmbRow(e.vec_id + stV * rr, y, e.label)
+        }.toDF()
+      }
+    }.reduce(_ unionByName _), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val marker = new java.io.File(dst, "_SYNTH_DONE")
+    if (!marker.exists()) {
+      val t0 = System.nanoTime()
+      synthesize(spark, s"$base/sf0.1", dst, reps)
+      println(f"""SCALECHECK {"step":"synthesize","reps":$reps,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      java.nio.file.Files.createFile(marker.toPath)
+    }
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+    }
+
+    for ((sf, dir) <- Seq("sf0.01" -> s"$base/sf0.01", "sf0.1" -> s"$base/sf0.1", "sf1" -> dst)) {
+      val docs = graft.queries.Tables.documents(spark, dir).count()
+      val vecs = graft.queries.Tables.embeddings(spark, dir).count()
+      val (d04, tD04) = timed(graft.queries.TextOps.candidatePairs(spark, dir).count())
+      val (d07, tD07) = timed(graft.queries.TextOps.simhashCandidatePairs(spark, dir).count())
+      val emb = graft.queries.Tables.embeddings(spark, dir)
+      val (d08, tD08) = timed(graft.queries.VectorOps.embedCandidatePairs(emb).count())
+      // the widened-band variant: the documented per-deployment scale knob, same plan
+      val (d08w, tD08w) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 16).count())
+      println(f"""SCALECHECK {"step":"candidates","sf":"$sf","docs":$docs,"vecs":$vecs,""" +
+        f""""d04_pairs":$d04,"d04_per_doc":${d04.toDouble / docs}%.4f,"d04_sec":$tD04%.1f,""" +
+        f""""d07_pairs":$d07,"d07_per_doc":${d07.toDouble / docs}%.4f,"d07_sec":$tD07%.1f,""" +
+        f""""d08_pairs":$d08,"d08_per_vec":${d08.toDouble / vecs}%.4f,"d08_sec":$tD08%.1f,""" +
+        f""""d08w16_pairs":$d08w,"d08w16_per_vec":${d08w.toDouble / vecs}%.4f,"d08w16_sec":$tD08w%.1f}""")
+      graft.Caches.clearAll()
+    }
+
+    // IVF at scale: K=64, 2 Lloyd refinements, nprobe=4 on sf1 — time the search
+    // and measure the probed fraction (the fraction of the corpus the probe scans).
+    {
+      graft.functions.VecDot.register(spark)
+      val emb = graft.queries.Tables.embeddings(spark, dst)
+      val ((res, frac), sec) = timed {
+        val cents = graft.queries.VectorOps.ivfCentroids(emb, 64, 2)
+          .localCheckpoint() // train once; search + audit reuse the same quantizer
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val probed = graft.queries.VectorOps.ivfProbe(cents, q, 4)
+        val assign = graft.queries.VectorOps.ivfAssign(emb, cents)
+        val scanned = assign.join(broadcast(probed), "cid").count()
+        val top = assign.join(broadcast(probed), "cid")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(expr("vec_dot(embedding, qe)") /
+              (sqrt(expr("vec_dot(embedding, embedding)")) * sqrt(expr("vec_dot(qe, qe)"))), 5).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(5)
+          .collect().map(_.getLong(0)).mkString("[", ",", "]")
+        (top, scanned.toDouble / emb.count())
+      }
+      println(f"""SCALECHECK {"step":"ivf_k64","sf":"sf1","k":64,"nprobe":4,"lloyd_iters":2,""" +
+        f""""probed_fraction":$frac%.4f,"top5":$res,"sec":$sec%.1f}""")
+    }
+
+    // ANN retrieval quality at sf1: the s05 recall query on the synthesized corpus.
+    {
+      val rows = graft.SparkEntry.queries("s05_ann_recall")(spark, dst).collect()
+      val recalls = rows.map(r => s""""${r.getString(0)}":${r.getDouble(1)}""").mkString(",")
+      println(s"""SCALECHECK {"step":"ann_recall","sf":"sf1",$recalls}""")
+    }
+
+    spark.stop()
+  }
+}

@@ -124,12 +124,34 @@ object TextOps {
     }
   }
 
-  /** LSH candidate pairs: docs sharing any (band, sig) bucket, id_a < id_b. */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs: docs sharing any (band, sig) bucket, id_a < id_b.
+    * Public so ScaleCheck can measure candidate growth across scale factors.
+    */
+  def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val b = bandsCached(s, d)
     val a = b.select(col("doc_id").as("id_a"), col("band"), col("sig"))
     val c = b.select(col("doc_id").as("id_b"), col("band"), col("sig"))
     a.join(c, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash LSH candidate pairs: docs sharing any of the four 16-bit
+    * (band_index, band_value) buckets, id_a < id_b. Candidate ids first: the
+    * bucket join and the cross-band distinct shuffle ONLY (id_a, id_b) — a pair
+    * colliding in k bands would otherwise ride k copies of both 4-band
+    * signatures through the exchanges; d07 joins the signatures back once per
+    * deduped pair for the hamming verify. Public so ScaleCheck can measure
+    * candidate growth across scale factors.
+    */
+  def simhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashCached(s, d)
+    def banded(p: String) = sh
+      .select(col("doc_id").as(s"id_$p"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"))
+      .select(col(s"id_$p"), col("x.bi").as("bi"), col("x.bv").as("bv"))
+    banded("a").join(banded("b"), Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
@@ -196,18 +218,7 @@ object TextOps {
     // per band -> N²/64 pairs).
     "d07_simhash_neardup" -> ((s, d) => {
       val sh = simhashCached(s, d)
-      // candidate ids first: the bucket join and the cross-band distinct shuffle
-      // ONLY (id_a, id_b) — a pair colliding in k bands would otherwise ride k
-      // copies of both 4-band signatures through the exchanges; the signatures are
-      // joined back once per deduped pair for the hamming verify
-      def banded(p: String) = sh
-        .select(col("doc_id").as(s"id_$p"),
-          explode(array((0 to 3).map(b =>
-            struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"))
-        .select(col(s"id_$p"), col("x.bi").as("bi"), col("x.bv").as("bv"))
-      val pairs = banded("a").join(banded("b"), Seq("bi", "bv"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      val pairs = simhashCandidatePairs(s, d)
       def sigs(p: String) = sh.select(col("doc_id").as(s"id_$p") +:
         (0 to 3).map(b => col(s"s$b").as(s"$p$b")): _*)
       pairs.join(sigs("a"), "id_a").join(sigs("b"), "id_b")

@@ -42,20 +42,40 @@ object VectorOps {
   private val bandBits = 12
   private val nBands = 2
 
-  /** Sign bits of dims [lo+1, lo+bandBits] as a bucket string (deterministic
+  /** Sign bits of dims [lo+1, lo+bits] as a bucket string (deterministic
     * axis-aligned hyperplane LSH, identical in DuckDB).
     */
-  private def signBand(c: Column, lo: Int): Column =
-    concat((lo + 1 to lo + bandBits).map(i =>
+  private def signBand(c: Column, lo: Int, bits: Int): Column =
+    concat((lo + 1 to lo + bits).map(i =>
       when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
 
-  /** (vec_id, embedding, bi, bucket) — one row per vector per band. */
-  private[queries] def banded(emb: DataFrame): DataFrame =
+  /** (vec_id, embedding, bi, bucket) — one row per vector per band. `bits` is the
+    * per-deployment scale knob: random collisions contribute ~N²/2^bits candidate
+    * pairs once N approaches 2^bits, so band width must grow ~log₂(N) (+4 bits per
+    * 10× corpus) to keep candidates per vector bounded — SCALECHECK.md pins this
+    * with measurements at sf0.01/0.1/1. The oracle-checked s02/d08 variants stay
+    * at the pinned default 12.
+    */
+  private[queries] def banded(emb: DataFrame, bits: Int = bandBits): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("bi"), signBand(col("embedding"), b * bandBits).as("bucket"))): _*)).as("x"))
+        struct(lit(b).as("bi"), signBand(col("embedding"), b * bits, bits).as("bucket"))): _*)).as("x"))
       .select(col("vec_id"), col("embedding"),
         col("x.bi").as("bi"), col("x.bucket").as("bucket"))
+
+  /** Sign-LSH candidate pairs: vectors sharing either band's bucket, id_a < id_b.
+    * Candidate ids first: the bucket join and the cross-band distinct shuffle ONLY
+    * (id_a, id_b) pairs — the 64-float payloads would otherwise ride through both
+    * exchanges (2×64 floats per row) just to be deduped by id. Public so
+    * ScaleCheck can measure candidate growth across scale factors.
+    */
+  def embedCandidatePairs(emb: DataFrame, bits: Int = bandBits): DataFrame = {
+    val bb = banded(emb, bits)
+    bb.select(col("vec_id").as("id_a"), col("bi"), col("bucket"))
+      .join(bb.select(col("vec_id").as("id_b"), col("bi"), col("bucket")), Seq("bi", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
 
   /** cos between two array<float> columns, full double accumulation via vec_dot. */
   private def cosOf(a: String, b: String): Column =
