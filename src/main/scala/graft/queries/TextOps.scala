@@ -155,6 +155,24 @@ object TextOps {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Shingle-intersection counts for the LSH candidate pairs: (id_a, id_b, i, ca,
+    * cb) with i = |shingles(a) ∩ shingles(b)| and ca/cb the distinct-shingle
+    * counts — the shared verification frame behind d05 (rounds the ratio for
+    * display) and d09 (thresholds the unrounded ratio for clustering edges).
+    * The intersection join runs over candidate pairs only, never all pairs.
+    */
+  private def jaccardCounts(s: SparkSession, d: String): DataFrame = {
+    val dsh = distinctShinglesCached(s, d)
+    val cnt = dsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = candidatePairs(s, d)
+      .join(dsh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+      .join(dsh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), "id_a")
+      .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
+  }
+
   private val stopEn = Seq("the", "of", "and")
   private val stopEs = Seq("la", "el", "de")
 
@@ -190,20 +208,24 @@ object TextOps {
       candidatePairs(s, d).orderBy("id_a", "id_b")),
 
     // Exact 3-gram Jaccard for the LSH candidates only (verification stage).
-    "d05_jaccard" -> ((s, d) => {
-      val dsh = distinctShinglesCached(s, d)
-      val cnt = dsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val cand = candidatePairs(s, d)
-      val inter = cand
-        .join(dsh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
-        .join(dsh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-      inter
-        .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), "id_a")
-        .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
+    "d05_jaccard" -> ((s, d) =>
+      jaccardCounts(s, d)
         .select(col("id_a"), col("id_b"),
           round(col("i").cast("double") / (col("ca") + col("cb") - col("i")), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+
+    // Near-dup CLUSTERS (the stage after pair generation): candidate pairs verified
+    // at Jaccard >= 0.5 become edges; connected components assign every clustered
+    // doc its transitive group's min doc_id (the canonical survivor a dedup keep-
+    // one-per-cluster pass retains). The threshold compares the UNROUNDED ratio of
+    // integer counts — bit-identical across engines, no .xx5 boundary coin flips.
+    "d09_dedup_clusters" -> ((s, d) => {
+      val edges = jaccardCounts(s, d)
+        .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
+        .select("id_a", "id_b")
+      Components.minLabelComponents(edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
     }),
 
     // SimHash signatures (dedup family #3 after exact + MinHash-LSH).
@@ -326,6 +348,19 @@ object TextOps {
     ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
     "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
 
+  /** Mirrors [[jaccardCounts]] with the unrounded ratio as `jac` (d05 rounds it
+    * for display; d09 thresholds it — same IEEE division of integer counts on
+    * both engines, so the threshold never lands on a rounding boundary).
+    */
+  private val JaccardCte =
+    ", dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)" +
+      ", cnt AS (SELECT doc_id, count(*) AS c FROM dsh GROUP BY doc_id)" +
+      ", inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
+      "JOIN dsh a ON a.doc_id = c.id_a JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle " +
+      "GROUP BY c.id_a, c.id_b)" +
+      ", jac AS (SELECT i.id_a, i.id_b, CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jac" +
+      " FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b)"
+
   /** DuckDB CTE mirroring [[simhash]] (identical arithmetic; DuckDB spells xor as a
     * function and Spark as `^`, the only divergence). The 64-bit signature is four
     * 16-bit band values s0..s3 — same representation as the Spark side, so no 64-bit
@@ -376,15 +411,18 @@ object TextOps {
     "d04_neardup_pairs" ->
       (CandCte + " SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"),
     "d05_jaccard" ->
-      (CandCte +
-        ", dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)" +
-        ", cnt AS (SELECT doc_id, count(*) AS c FROM dsh GROUP BY doc_id)" +
-        ", inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
-        "JOIN dsh a ON a.doc_id = c.id_a JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle " +
-        "GROUP BY c.id_a, c.id_b)" +
-        " SELECT i.id_a, i.id_b, round(CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i), 6) AS jaccard" +
-        " FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b" +
-        " ORDER BY id_a, id_b"),
+      (CandCte + JaccardCte +
+        " SELECT id_a, id_b, round(jac, 6) AS jaccard FROM jac ORDER BY id_a, id_b"),
+    // components: recursive reachability over the jaccard>=0.5 edges, cluster =
+    // min reachable id — the same exact min-id fixpoint the Spark label
+    // propagation converges to (UNION dedups, so the recursion terminates)
+    "d09_dedup_clusters" ->
+      (CandCte.replaceFirst("WITH ", "WITH RECURSIVE ") + JaccardCte +
+        ", edges AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jac >= 0.5 " +
+        "UNION ALL SELECT id_b, id_a FROM jac WHERE jac >= 0.5)" +
+        ", reach(src, dst) AS (SELECT DISTINCT a, a FROM edges " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)" +
+        " SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"),
     "t01_textstats" ->
       ("SELECT doc_id, nc, n_tokens, n_stop, round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio FROM " +
         "(SELECT doc_id, CAST(length(text) AS BIGINT) AS nc, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase.spark
+
+class ComponentsSpec extends AnyFunSuite {
+
+  private def edgesDf(pairs: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    // through parallelize, not createDataFrame(local) — matches how edges arrive
+    // in the real pipeline (from a shuffle, not a LocalRelation)
+    s.sparkContext.parallelize(pairs).toDF("id_a", "id_b")
+  }
+
+  test("min-id labels across multiple components; non-edge nodes excluded") {
+    val out = Components.minLabelComponents(edgesDf(10L -> 20L, 20L -> 30L, 5L -> 6L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("a 64-node chain converges within log-bounded rounds (pointer jumping)") {
+    // plain min propagation needs diameter=63 rounds here; pointer jumping
+    // compresses label chains, so 10 rounds must suffice (the operator throws
+    // via require() if it has not converged by maxRounds)
+    val chain = (0L until 63L).map(i => i -> (i + 1))
+    val out = Components.minLabelComponents(edgesDf(chain: _*), maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === 64)
+    assert(out.forall(_._2 === 0L))
+  }
+
+  test("d09 clusters equal a driver-side union-find of the verified edges") {
+    val s = spark
+    val d = "/root/testdata/sf0.01"
+    val got = TextOps.queries("d09_dedup_clusters")(s, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "sf0.01 must yield at least one verified near-dup cluster")
+    assert(got.forall { case (doc, cl) => cl <= doc }, "cluster id is the min member")
+    // independent reference: union-find over the same jaccard>=0.5 edge list
+    val edges = TextOps.queries("d05_jaccard")(s, d)
+      .filter(col("jaccard") >= 0.5) // d05 rounds to 6dp; safe as a test reference
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    assert(got === expected)
+  }
+}
