@@ -9,9 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - graft.queries.Hierarchy  — tree-as-table analogs of §2.A (a08..a15, b14)
   *  - graft.queries.TextOps    — dedup: exact/MinHash-LSH/SimHash/Jaccard (d01..d07),
   *    near-dup clustering via connected components (d09, graft.queries.Components),
-  *    text analysis + KMV sketch (t01..t06), binary meta (m01)
-  *  - graft.queries.VectorOps  — similarity search + recall measurement (s01..s05),
-  *    embedding near-dup (d08)
+  *    text analysis + KMV sketch + n-gram counts + quality gate (t01..t08),
+  *    binary meta (m01)
+  *  - graft.queries.VectorOps  — similarity search + recall measurement + batched
+  *    k-NN join (s01..s06), embedding near-dup (d08)
   *  - graft.queries.EventOps   — sessionization / windows / json / skew-safe salting
   *    (e01..e06; e07 streaming dedup is spec-pinned in graft.streaming)
   *  - graft.queries.MediaOps   — multimodal decode/resize/frame-sample (m02..m04)

@@ -251,6 +251,39 @@ object TextOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Corpus-level top-k n-gram counts (boilerplate / contamination analysis): one
+    // bigram explode + one groupBy(count). Map-side combine keeps the shuffle at
+    // ~distinct-bigram cardinality, not corpus rows; the top-20 is a TakeOrdered
+    // heap, never a global sort. Ties break lexicographically for determinism.
+    "t07_bigram_topk" -> ((s, d) =>
+      documents(s, d)
+        .select(split(col("text"), " ").as("tk"))
+        .select(col("tk"),
+          explode(when(size(col("tk")) >= 2, sequence(lit(1), size(col("tk")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram")).limit(20)),
+
+    // C4-style quality gate: per-doc token/stopword/word-length stats -> keep flag.
+    // One codegen'd projection, no shuffle; thresholds compare the UNROUNDED
+    // doubles (identical arithmetic on both engines), outputs round for display.
+    // mean word length derives from length(text) and the token count (texts are
+    // single-space separated; the oracle uses the same identity).
+    "t08_quality_filter" -> ((s, d) => {
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val nStop = countIn(Seq("the", "a")) // t01's stop list
+      val stopRatio = nStop.cast("double") / nTok
+      val meanWlen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+      documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(meanWlen, 6).as("mean_wlen"),
+          (nTok.between(20, 1000) && stopRatio >= 0.01 && stopRatio <= 0.30 &&
+            meanWlen >= 3.0 && meanWlen <= 8.0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting, whitespace + BPE-ish regex segmentation (letters runs, digit
     // runs, single punctuation) — both pure codegen'd projections.
     "t04_token_count" -> ((s, d) =>
@@ -436,6 +469,20 @@ object TextOps {
         "FROM documents) ORDER BY doc_id"),
     "t03_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp FROM documents ORDER BY doc_id",
+    "t07_bigram_topk" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents), " +
+        "bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram FROM " +
+        "(SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)) " +
+        "SELECT bigram, count(*) AS n FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
+    "t08_quality_filter" ->
+      ("SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio, round(mean_wlen, 6) AS mean_wlen, " +
+        "(n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.01 AND stop_ratio <= 0.30 " +
+        "AND mean_wlen >= 3.0 AND mean_wlen <= 8.0) AS keep FROM " +
+        "(SELECT doc_id, n_tokens, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, " +
+        "CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_wlen FROM " +
+        "(SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop " +
+        "FROM documents)) ORDER BY doc_id"),
     "t05_rolling_fp" ->
       ("SELECT doc_id, min(w) AS fp, CAST(count(DISTINCT w) AS BIGINT) AS n_windows FROM " +
         "(SELECT doc_id, md5(substr(text, i, 8)) AS w FROM " +

@@ -196,6 +196,35 @@ object VectorOps {
         .limit(5)
     }),
 
+    // Batched k-NN JOIN — the production ANN shape: MANY query vectors resolved in
+    // ONE plan (per-query loops would be one job per probe row; this is none).
+    // The 10-probe set and the corpus share a single IVF assignment; each probe
+    // scores only its nprobe nearest lists, and one rank window per probe keeps
+    // top-3. The probe side stays a broadcast (probes × nprobe rows); the corpus
+    // side shuffles once on cid — at 100 TB with partitionBy(cid) storage the
+    // probed lists are a listing-time prune, same as s03 (BucketingSpec).
+    "s06_knn_join" -> ((s, d) => {
+      graft.functions.VecDot.register(s)
+      val emb = embeddings(s, d)
+      val cents = ivfCentroids(emb, k = 16, lloydIters = 0)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val probeLists = probes.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(cosOf("qe", "ce"), 9))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))))
+        .filter(col("rk") <= 2)
+        .select("qid", "qe", "cid")
+      ivfAssign(emb, cents).join(broadcast(probeLists), "cid")
+        .filter(col("vec_id") =!= col("qid")) // a probe is its own nearest; drop it
+        .select(col("qid"), col("vec_id"), round(cosOf("embedding", "qe"), 5).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
+    }),
+
     // IVF ANN (oracle-pinned variant of [[ivfSearch]]: K=16, nprobe=4, no Lloyd
     // refinement — seeds ARE the quantizer).
     "s03_ann_ivf" -> ((s, d) => ivfSearch(s, d, k = 16, nprobe = 4, lloydIters = 0)),
@@ -288,6 +317,35 @@ object VectorOps {
         "qs AS (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT unnest(qe) AS y FROM q)) " +
         s"SELECT vec_id, $CosSql AS cos FROM s CROSS JOIN qs ORDER BY cos DESC, vec_id LIMIT 5")
 
+  /** s06's batched probe: S03's CTE shape with a qid dimension threaded through
+    * assignment, probing, and the final per-probe top-3 window.
+    */
+  private val S06Sql: String =
+    ("WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 16), " +
+      "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), " +
+      "az AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS y FROM embeddings e CROSS JOIN cent c), " +
+      "ascore AS (SELECT vec_id, cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+      "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sb " +
+      "FROM az GROUP BY vec_id, cid), " +
+      "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY round(dot / (sqrt(sa) * sqrt(sb)), 9) DESC, cid) AS rk FROM ascore) WHERE rk = 1), " +
+      "pz AS (SELECT q.qid, c.cid, unnest(c.ce) AS x, unnest(q.qe) AS y FROM cent c CROSS JOIN q), " +
+      "pscore AS (SELECT qid, cid, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+      "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sb " +
+      "FROM pz GROUP BY qid, cid), " +
+      "probe AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY round(dot / (sqrt(sa) * sqrt(sb)), 9) DESC, cid) AS rk FROM pscore) WHERE rk <= 2), " +
+      "cand AS (SELECT p.qid, a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid WHERE a.vec_id <> p.qid), " +
+      "z AS (SELECT cand.qid, e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y " +
+      "FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id JOIN q ON q.qid = cand.qid), " +
+      "sc AS (SELECT qid, vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot, " +
+      "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sa FROM z GROUP BY qid, vec_id), " +
+      "qs AS (SELECT qid, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sq FROM (SELECT qid, unnest(qe) AS y FROM q) GROUP BY qid) " +
+      "SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM (" +
+      s"SELECT sc.qid, sc.vec_id, $CosSql AS cos, row_number() OVER " +
+      s"(PARTITION BY sc.qid ORDER BY $CosSql DESC, sc.vec_id) AS rk " +
+      "FROM sc JOIN qs ON qs.qid = sc.qid) WHERE rk <= 3 ORDER BY qid, rk")
+
   private val S04Sql: String = {
       // nearest-centroid assignment from centroid CTE `c` (mirrors s03's assign)
       def assignSql(cents: String, az: String, sc: String, out: String) =
@@ -333,6 +391,7 @@ object VectorOps {
     "s02_ann_bucket" -> S02Sql,
     "s03_ann_ivf" -> S03Sql,
     "s04_ann_ivf_trained" -> S04Sql,
+    "s06_knn_join" -> S06Sql,
     "s05_ann_recall" ->
       Seq("bucket" -> S02Sql, "ivf" -> S03Sql, "ivf_trained" -> S04Sql)
         .map { case (n, q) => recallTermSql(n, q) }

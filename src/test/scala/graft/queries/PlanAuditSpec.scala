@@ -52,6 +52,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("s06: batched kNN join — corpus side keyed on cid, probe side broadcast") {
+    val p = plan("s06_knn_join")
+    // no shuffled cartesian; the only cross is the K-row broadcast quantizer
+    // cross-score (the same intended shape s03/s04 audit), the probed-list join
+    // is a broadcast HASH join on cid, and the per-probe top-3 runs as a
+    // WindowGroupLimit keyed on qid — never a single-partition window
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit [qid"), p)
+  }
+
+  test("t07: bigram counts aggregate with map-side partials before the shuffle") {
+    val p = plan("t07_bigram_topk")
+    // partial_count on the scan side = map-side combine; top-20 is TakeOrdered,
+    // not a global sort of the distinct-bigram frame
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("b10: no window moves the whole dataset to one partition") {
     // the only unpartitioned window allowed is over the per-partition counts
     // (bounded by the partition count); the data window is keyed by __pid
