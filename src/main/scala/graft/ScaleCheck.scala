@@ -189,6 +189,19 @@ object ScaleCheck {
       println(s"""SCALECHECK {"step":"ann_recall","sf":"sf1",$recalls}""")
     }
 
+    // the round-driven operators at sf1: d09's component loop over 10× the verified
+    // edges (rounds grow with log of cluster diameter, not corpus size) and s06's
+    // batched k-NN join (one plan regardless of probe count).
+    {
+      val (nClustered, secD09) = timed(
+        graft.SparkEntry.queries("d09_dedup_clusters")(spark, dst).count())
+      val (nKnn, secS06) = timed(
+        graft.SparkEntry.queries("s06_knn_join")(spark, dst).count())
+      println(f"""SCALECHECK {"step":"new_ops","sf":"sf1","d09_clustered_docs":$nClustered,""" +
+        f""""d09_sec":$secD09%.1f,"s06_rows":$nKnn,"s06_sec":$secS06%.1f}""")
+      graft.Caches.clearAll()
+    }
+
     spark.stop()
   }
 }
