@@ -284,6 +284,22 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic stratified sampling (the training-data mixing stage): N docs
+    // per language, ordered by a salted content-free hash so the sample is
+    // reproducible, unbiased by doc_id locality, and identical on both engines.
+    // Scale: the rank window is skew-prone (few language groups), but Spark's
+    // WindowGroupLimit keeps <= N rows per group per MAP partition before the
+    // shuffle (plan-audited), so the exchange carries O(N x partitions) rows per
+    // group, not the group's corpus share.
+    "t09_stratified_sample" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("|graft"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy("h", "doc_id")))
+        .filter(col("rk") <= 50)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+        .orderBy("lang", "rk")),
+
     // Token counting, whitespace + BPE-ish regex segmentation (letters runs, digit
     // runs, single punctuation) — both pure codegen'd projections.
     "t04_token_count" -> ((s, d) =>
@@ -474,6 +490,11 @@ object TextOps {
         "bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram FROM " +
         "(SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)) " +
         "SELECT bigram, count(*) AS n FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
+    "t09_stratified_sample" ->
+      ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM " +
+        "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft'), doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 50 ORDER BY lang, rk"),
     "t08_quality_filter" ->
       ("SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio, round(mean_wlen, 6) AS mean_wlen, " +
         "(n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.01 AND stop_ratio <= 0.30 " +

@@ -71,6 +71,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t09: the per-language rank limit runs map-side before the skewed shuffle") {
+    val p = plan("t09_stratified_sample")
+    // Partial WindowGroupLimit = <= 50 rows per lang survive each MAP partition,
+    // so the lang-keyed exchange never carries a hot group's corpus share
+    assert(p.contains("WindowGroupLimit [lang"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("b10: no window moves the whole dataset to one partition") {
     // the only unpartitioned window allowed is over the per-partition counts
     // (bounded by the partition count); the data window is keyed by __pid
