@@ -182,11 +182,37 @@ object ScaleCheck {
         f""""probed_fraction":$frac%.4f,"top5":$res,"sec":$sec%.1f}""")
     }
 
-    // ANN retrieval quality at sf1: the s05 recall query on the synthesized corpus.
+    // ANN retrieval quality at sf1: the s05 recall query on the synthesized corpus,
+    // plus the bucket-LSH banding sweep — recall@5 of an s02-style search across
+    // (bands × bits) configurations, measuring the two knobs' trade: WIDTH bounds
+    // candidates (precision), COUNT buys recall back (OR-amplification).
     {
       val rows = graft.SparkEntry.queries("s05_ann_recall")(spark, dst).collect()
       val recalls = rows.map(r => s""""${r.getString(0)}":${r.getDouble(1)}""").mkString(",")
       println(s"""SCALECHECK {"step":"ann_recall","sf":"sf1",$recalls}""")
+
+      graft.functions.VecDot.register(spark)
+      val emb = graft.queries.Tables.embeddings(spark, dst)
+      val exact5 = graft.queries.VectorOps.exactTopK(spark, dst, 5).select("vec_id")
+      def bucketRecall(bands: Int, bits: Int): (Double, Long) = {
+        val bb = graft.queries.VectorOps.banded(emb, bits, bands)
+        val q = bb.filter(col("vec_id") === 0)
+          .select(col("bi"), col("bucket"), col("embedding").as("qe"))
+        val cand = bb.join(broadcast(q), Seq("bi", "bucket"))
+          .select(col("vec_id"), col("embedding"), col("qe")).distinct()
+        val n = cand.count()
+        val top = cand.select(col("vec_id"),
+            (expr("vec_dot(embedding, qe)") /
+              (sqrt(expr("vec_dot(embedding, embedding)")) * sqrt(expr("vec_dot(qe, qe)")))).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(5)
+        (top.join(exact5, "vec_id").count() / 5.0, n)
+      }
+      val sweep = Seq((2, 12), (2, 16), (4, 12), (4, 16), (5, 12))
+        .map { case (bands, bits) =>
+          val (r, n) = bucketRecall(bands, bits)
+          s""""b${bands}x$bits":{"recall":$r,"cand":$n}"""
+        }.mkString(",")
+      println(s"""SCALECHECK {"step":"bucket_sweep","sf":"sf1",$sweep}""")
     }
 
     // the round-driven operators at sf1: d09's component loop over 10× the verified

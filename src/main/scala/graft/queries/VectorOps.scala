@@ -49,19 +49,25 @@ object VectorOps {
     concat((lo + 1 to lo + bits).map(i =>
       when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
 
-  /** (vec_id, embedding, bi, bucket) — one row per vector per band. `bits` is the
-    * per-deployment scale knob: random collisions contribute ~N²/2^bits candidate
-    * pairs once N approaches 2^bits, so band width must grow ~log₂(N) (+4 bits per
-    * 10× corpus) to keep candidates per vector bounded — SCALECHECK.md pins this
-    * with measurements at sf0.01/0.1/1. The oracle-checked s02/d08 variants stay
-    * at the pinned default 12.
+  /** (vec_id, embedding, bi, bucket) — one row per vector per band. The two
+    * per-deployment scale knobs, pinned by SCALECHECK.md measurements:
+    *  - `bits` (band WIDTH) bounds candidates: random collisions contribute
+    *    ~N²/2^bits pairs once N approaches 2^bits, so width grows ~log₂(N)
+    *    (+4 bits per 10× corpus). Wider = higher precision, never higher recall.
+    *  - `bands` (band COUNT) buys recall back (OR-amplification): a neighbor is a
+    *    candidate if it matches ANY band, so more bands = more chances; candidates
+    *    scale linearly in `bands`, quadratically in lost `bits`.
+    * The oracle-checked s02/d08 variants stay at the pinned default 2×12.
     */
-  private[queries] def banded(emb: DataFrame, bits: Int = bandBits): DataFrame =
+  private[graft] def banded(emb: DataFrame, bits: Int = bandBits,
+      bands: Int = nBands): DataFrame = {
+    require(bands * bits <= 64, s"$bands bands x $bits bits exceeds the 64 dims")
     emb.select(col("vec_id"), col("embedding"),
-      explode(array((0 until nBands).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("bi"), signBand(col("embedding"), b * bits, bits).as("bucket"))): _*)).as("x"))
       .select(col("vec_id"), col("embedding"),
         col("x.bi").as("bi"), col("x.bucket").as("bucket"))
+  }
 
   /** Sign-LSH candidate pairs: vectors sharing either band's bucket, id_a < id_b.
     * Candidate ids first: the bucket join and the cross-band distinct shuffle ONLY
