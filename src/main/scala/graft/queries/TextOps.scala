@@ -48,19 +48,22 @@ object TextOps {
     distinctShinglesCache.getOrElseUpdate((s, d), shinglesCached(s, d).distinct().cache())
 
   /** word 3-gram shingles: (doc_id, shingle), one row per position. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("tk"),
         explode(when(size(col("tk")) >= 3, sequence(lit(1), size(col("tk")) - 2))
           .otherwise(array().cast("array<int>"))).as("i"))
       .select(col("doc_id"), concat_ws(" ", slice(col("tk"), col("i"), lit(3))).as("shingle"))
 
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(documents(s, d))
+
   /** MinHash signature banded for LSH: (doc_id, band, sig); k=8 hashes, 4 bands of 2.
     * h_j(doc) = min over shingles of md5(j || '|' || shingle); band sig = md5 of the
     * band's hashes joined in j order.
     */
-  private def bands(s: SparkSession, d: String): DataFrame = {
+  private def bandsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     // ONE scan-local codegen'd expression per document (graft.functions.MinHash8):
     // the 8 min-hashes never leave the scan — the earlier keyed agg of 8 mins
     // shuffled partials over corpus-sized shingle rows (MinHash8Spec pins value
@@ -72,12 +75,15 @@ object TextOps {
       struct(lit(b.toLong).as("band"),
         md5(concat_ws(",", col(s"m.mh${2 * b}"), col(s"m.mh${2 * b + 1}"))
           .cast("binary")).as("sig")))
-    documents(s, d)
+    docs
       .select(col("doc_id"), expr("minhash8(text)").as("m"))
       .filter(col("m").isNotNull)
       .select(col("doc_id"), explode(array(sigs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  private def bands(s: SparkSession, d: String): DataFrame =
+    bandsOf(s, documents(s, d))
 
   /** 64-bit SimHash signatures, carried as four 16-bit band columns `s0..s3` (never
     * packed into one BIGINT: bit 63 would flip the sign in both Spark and DuckDB and
@@ -124,16 +130,21 @@ object TextOps {
     }
   }
 
-  /** LSH candidate pairs: docs sharing any (band, sig) bucket, id_a < id_b.
-    * Public so ScaleCheck can measure candidate growth across scale factors.
+  /** LSH candidate pairs from a prebuilt band frame: docs sharing any (band, sig)
+    * bucket, id_a < id_b.
     */
-  def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val b = bandsCached(s, d)
+  private def candidatePairsFromBands(b: DataFrame): DataFrame = {
     val a = b.select(col("doc_id").as("id_a"), col("band"), col("sig"))
     val c = b.select(col("doc_id").as("id_b"), col("band"), col("sig"))
     a.join(c, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** LSH candidate pairs over the dir's full documents table (cached bands).
+    * Public so ScaleCheck can measure candidate growth across scale factors.
+    */
+  def candidatePairs(s: SparkSession, d: String): DataFrame =
+    candidatePairsFromBands(bandsCached(s, d))
 
   /** SimHash LSH candidate pairs: docs sharing any of the four 16-bit
     * (band_index, band_value) buckets, id_a < id_b. Candidate ids first: the
@@ -158,19 +169,35 @@ object TextOps {
   /** Shingle-intersection counts for the LSH candidate pairs: (id_a, id_b, i, ca,
     * cb) with i = |shingles(a) ∩ shingles(b)| and ca/cb the distinct-shingle
     * counts — the shared verification frame behind d05 (rounds the ratio for
-    * display) and d09 (thresholds the unrounded ratio for clustering edges).
+    * display), d09 (thresholds the unrounded ratio for clustering edges), and
+    * d10 (same, over the quality-gated deduped survivors).
     * The intersection join runs over candidate pairs only, never all pairs.
     */
-  private def jaccardCounts(s: SparkSession, d: String): DataFrame = {
-    val dsh = distinctShinglesCached(s, d)
+  private def jaccardCountsFrom(cand: DataFrame, dsh: DataFrame): DataFrame = {
     val cnt = dsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = candidatePairs(s, d)
+    val inter = cand
       .join(dsh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
       .join(dsh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     inter
       .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), "id_a")
       .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
+  }
+
+  private def jaccardCounts(s: SparkSession, d: String): DataFrame =
+    jaccardCountsFrom(candidatePairs(s, d), distinctShinglesCached(s, d))
+
+  /** t08's keep predicate (token count, stopword ratio, mean word length bounds) —
+    * shared by the t08 report query and d10's pipeline gate. Unrounded doubles,
+    * identical arithmetic on both engines.
+    */
+  private def qualityKeep: Column = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nStop = countIn(Seq("the", "a"))
+    val stopRatio = nStop.cast("double") / nTok
+    val meanWlen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    nTok.between(20, 1000) && stopRatio >= 0.01 && stopRatio <= 0.30 &&
+      meanWlen >= 3.0 && meanWlen <= 8.0
   }
 
   private val stopEn = Seq("the", "of", "and")
@@ -279,9 +306,31 @@ object TextOps {
         .select(col("doc_id"), nTok.as("n_tokens"),
           round(stopRatio, 6).as("stop_ratio"),
           round(meanWlen, 6).as("mean_wlen"),
-          (nTok.between(20, 1000) && stopRatio >= 0.01 && stopRatio <= 0.30 &&
-            meanWlen >= 3.0 && meanWlen <= 8.0).as("keep"))
+          qualityKeep.as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // The end-to-end corpus-cleaning pipeline, composed from the audited stages
+    // and oracle-checked AS A WHOLE: quality gate (t08's predicate) -> exact dedup
+    // keep-min (d02's window) -> near-dup clustering over the SURVIVORS (d04
+    // candidates + d05 verification + d09 components, rebuilt on the filtered set,
+    // not the cached full-corpus frames) -> drop every cluster member that is not
+    // its cluster's min id. Output is the cleaned corpus a training pipeline
+    // would feed downstream. At production scale each arrow materializes an
+    // intermediate table; here the stages fuse into one plan per pass.
+    "d10_clean_corpus" -> ((s, d) => {
+      val ex = documents(s, d).filter(qualityKeep)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+        .filter(col("__rn") === 1).drop("__rn")
+      val edges = jaccardCountsFrom(
+          candidatePairsFromBands(bandsOf(s, ex)), shinglesOf(ex).distinct())
+        .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
+        .select("id_a", "id_b")
+      val losers = Components.minLabelComponents(edges)
+        .filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
+      ex.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
     // Deterministic stratified sampling (the training-data mixing stage): N docs
@@ -383,7 +432,20 @@ object TextOps {
         .orderBy("doc_id")),
   )
 
-  /** Shared DuckDB CTEs mirroring [[shingles]]/[[bands]]/[[candidatePairs]]. */
+  /** Shared DuckDB CTEs mirroring [[shinglesOf]]/[[bandsOf]]/[[candidatePairsFromBands]],
+    * parameterized on the source relation so d10 can run them over its
+    * quality-gated deduped survivors instead of the full documents table.
+    */
+  private def candCteFrom(src: String): String =
+    s"toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src), " +
+      "sh AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle " +
+      "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks))" +
+      ", mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh " +
+      "FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j) GROUP BY doc_id, j)" +
+      ", bands AS (SELECT doc_id, CAST(j // 2 AS BIGINT) AS band, " +
+      "md5(string_agg(mh, ',' ORDER BY j)) AS sig FROM mh GROUP BY doc_id, band)" +
+      ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
   private val ShCte =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
       "sh AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle " +
@@ -396,6 +458,13 @@ object TextOps {
   private val CandCte = BandsCte +
     ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
     "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+
+  /** t08's keep predicate over a relation aliased with (doc_id, text, ...). */
+  private val KeepSql =
+    "n_tokens BETWEEN 20 AND 1000 " +
+      "AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.30 " +
+      "AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens >= 3.0 " +
+      "AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens <= 8.0"
 
   /** Mirrors [[jaccardCounts]] with the unrounded ratio as `jac` (d05 rounds it
     * for display; d09 thresholds it — same IEEE division of integer counts on
@@ -490,6 +559,23 @@ object TextOps {
         "bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram FROM " +
         "(SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)) " +
         "SELECT bigram, count(*) AS n FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
+    "d10_clean_corpus" ->
+      ("WITH RECURSIVE " +
+        "qd AS (SELECT doc_id, text, lang, n_chars FROM " +
+        "(SELECT doc_id, text, lang, n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop " +
+        s"FROM documents) WHERE $KeepSql), " +
+        "ex AS (SELECT doc_id, text, lang, n_chars FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qd) WHERE rn = 1), " +
+        candCteFrom("ex") + JaccardCte +
+        ", edges AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jac >= 0.5 " +
+        "UNION ALL SELECT id_b, id_a FROM jac WHERE jac >= 0.5)" +
+        ", reach(src, dst) AS (SELECT DISTINCT a, a FROM edges " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)" +
+        ", losers AS (SELECT src FROM reach GROUP BY src HAVING min(dst) <> src) " +
+        "SELECT doc_id, lang, n_chars FROM ex " +
+        "WHERE doc_id NOT IN (SELECT src FROM losers) ORDER BY doc_id"),
     "t09_stratified_sample" ->
       ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM " +
         "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
