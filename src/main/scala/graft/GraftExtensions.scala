@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHash8, RollingFp, SimHash64, TokenHash16, VecDot}
+import graft.functions.{MinHash8, RollingFp, SimHash128, SimHash64, TokenHash16, VecDot}
 
 /** Cluster-wide registration of graft's native SQL functions via
   * `spark.sql.extensions=graft.GraftExtensions` — the standard way to ship custom
@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64 takes one argument")
         SimHash64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash128"),
+      new ExpressionInfo(classOf[SimHash128].getName, "simhash128"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash128 takes one argument")
+        SimHash128(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash8"),

@@ -145,6 +145,8 @@ object ScaleCheck {
       val vecs = graft.queries.Tables.embeddings(spark, dir).count()
       val (d04, tD04) = timed(graft.queries.TextOps.candidatePairs(spark, dir).count())
       val (d07, tD07) = timed(graft.queries.TextOps.simhashCandidatePairs(spark, dir).count())
+      // the 128-bit signature: the documented d07 scale knob, measured alongside
+      val (d07w, tD07w) = timed(graft.queries.TextOps.simhash128CandidatePairs(spark, dir).count())
       val emb = graft.queries.Tables.embeddings(spark, dir)
       val (d08, tD08) = timed(graft.queries.VectorOps.embedCandidatePairs(emb).count())
       // the widened-band variant: the documented per-deployment scale knob, same plan
@@ -152,6 +154,7 @@ object ScaleCheck {
       println(f"""SCALECHECK {"step":"candidates","sf":"$sf","docs":$docs,"vecs":$vecs,""" +
         f""""d04_pairs":$d04,"d04_per_doc":${d04.toDouble / docs}%.4f,"d04_sec":$tD04%.1f,""" +
         f""""d07_pairs":$d07,"d07_per_doc":${d07.toDouble / docs}%.4f,"d07_sec":$tD07%.1f,""" +
+        f""""d07w128_pairs":$d07w,"d07w128_per_doc":${d07w.toDouble / docs}%.4f,"d07w128_sec":$tD07w%.1f,""" +
         f""""d08_pairs":$d08,"d08_per_vec":${d08.toDouble / vecs}%.4f,"d08_sec":$tD08%.1f,""" +
         f""""d08w16_pairs":$d08w,"d08w16_per_vec":${d08w.toDouble / vecs}%.4f,"d08w16_sec":$tD08w%.1f}""")
       graft.Caches.clearAll()

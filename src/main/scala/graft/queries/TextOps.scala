@@ -187,6 +187,36 @@ object TextOps {
   private def jaccardCounts(s: SparkSession, d: String): DataFrame =
     jaccardCountsFrom(candidatePairs(s, d), distinctShinglesCached(s, d))
 
+  /** 128-bit SimHash candidate pairs — the d07 scale variant (SCALECHECK.md): the
+    * 64-bit signature's 4×16-bit bands stop pruning once a shard approaches ~2^16
+    * docs. The full-md5 `simhash128` kernel doubles the bit budget, banded as
+    * 4 bands × 32 bits — the SAME band count as d07 (so the pigeonhole guarantee
+    * is unchanged: any pair within hamming ≤ 3 of the 128 bits shares a band) but
+    * 2^32 buckets per band, so random collisions need 32 exact bits instead of 16.
+    * Adding bands instead (8×16) would RAISE candidates — more OR-amplification
+    * chances at the same per-band rate; width is the precision knob, count the
+    * recall knob, identical to the sign-LSH family. Same scan-local zero-shuffle
+    * signature, same id-pairs-first join shape as d07. Spec-pinned
+    * (SimHash128Spec: bands 0–3 of the kernel equal the oracle-checked simhash64
+    * by construction); ScaleCheck measures the candidate reduction at sf1.
+    */
+  def simhash128CandidatePairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SimHash128.register(s)
+    val sh = documents(s, d)
+      .select(col("doc_id"), expr("simhash128(lower(text))").as("x"))
+      .select(col("doc_id") +: (0 to 7).map(b => col(s"x.s$b").as(s"s$b")): _*)
+    // 32-bit band b = its two 16-bit halves packed (always < 2^32: no sign hazard)
+    def banded(p: String) = sh
+      .select(col("doc_id").as(s"id_$p"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("bi"),
+            (col(s"s${2 * b}") * 65536L + col(s"s${2 * b + 1}")).as("bv"))): _*)).as("x"))
+      .select(col(s"id_$p"), col("x.bi").as("bi"), col("x.bv").as("bv"))
+    banded("a").join(banded("b"), Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** t08's keep predicate (token count, stopword ratio, mean word length bounds) —
     * shared by the t08 report query and d10's pipeline gate. Unrounded doubles,
     * identical arithmetic on both engines.
