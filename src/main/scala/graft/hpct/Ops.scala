@@ -89,17 +89,16 @@ object Ops {
     * one until there are no children or the child's value drops below `threshold`
     * (that child is excluded). Returns the rows whose callpath is on the hot path.
     *
-    * The root-start case (no `callpath`) routes through [[hotPathOneShot]] — one
-    * declarative plan instead of one argmax job per depth (the per-job overhead
-    * dominated the fixture-scale workload at ~25 tiny jobs per call, the only >2×
-    * like-for-like gap vs the reference). The two formulations are proven equal on
-    * both fixtures at two thresholds by ParitySpec. An explicit starting `callpath`
-    * keeps the driver loop ([[hotPathIterative]]), which handles the prefix restart.
+    * All starts route through [[hotPathOneShot]] — one declarative plan instead of
+    * one argmax job per depth (the per-job overhead dominated the fixture-scale
+    * workload at ~25 tiny jobs per call, the only >2× like-for-like gap vs the
+    * reference). The two formulations are proven equal on both fixtures at two
+    * thresholds, root and prefix starts, by ParitySpec; [[hotPathIterative]] stays
+    * as the reference-shaped equivalence baseline.
     */
   def hotPath(pf: ProfileFrame, callpath: Seq[Long] = Nil, threshold: Double = 0.05,
       baseColumn: Option[String] = None): ProfileFrame =
-    if (callpath.isEmpty) hotPathOneShot(pf, threshold, baseColumn)
-    else hotPathIterative(pf, callpath, threshold, baseColumn)
+    hotPathOneShot(pf, threshold, baseColumn, callpath)
 
   /** The driver-loop hot path: one tiny argmax job per depth (bounded by tree depth
     * <= 25 in the fixtures); each job is a filter + top-1 sort over a cached
@@ -144,18 +143,30 @@ object Ops {
     * driver-side iteration, so it scales to any depth/width on a cluster.
     *
     * A node is on the greedy hot path iff EVERY prefix of its callpath (itself
-    * included) is (a) the rank-1 child of its sibling group (max value, min id on
-    * ties — pandas idxmax order) and (b) at or above the threshold. That is exactly
-    * the set the greedy descent visits, minus the below-threshold final child it
-    * rejects. Three keyed stages: a per-parent rank window, a prefix explode
-    * (O(depth) per node), and a count-matches aggregation — no collect, no loop.
+    * included) strictly longer than the starting callpath is (a) the rank-1 child of
+    * its sibling group (max value, min id on ties — pandas idxmax order) and (b) at
+    * or above the threshold. That is exactly the set the greedy descent visits,
+    * minus the below-threshold final child it rejects. Three keyed stages: a
+    * per-parent rank window, a prefix explode (O(depth) per node), and a
+    * count-matches aggregation — no collect, no loop.
+    *
+    * A non-empty `start` restricts the frame to the subtree rooted at that callpath
+    * (the node itself is on the path unconditionally, mirroring the greedy seed);
+    * sibling groups inside the subtree are complete, so the rank window is
+    * unchanged. NaN values descend (Spark orders NaN above every double — same
+    * outcome as the loop's `NaN < threshold == false`); null values stop.
     */
   def hotPathOneShot(pf: ProfileFrame, threshold: Double = 0.05,
-      baseColumn: Option[String] = None): ProfileFrame = {
+      baseColumn: Option[String] = None, start: Seq[Long] = Nil): ProfileFrame = {
     val base = baseColumn.getOrElse(pf.meta.hotPathColumn)
     require(pf.df.columns.contains(base), s"missing hot-path column $base")
-    val winners = pf.df
-      .filter(size(col("callpath")) > 0)
+    val d0 = start.length
+    val sub =
+      if (start.isEmpty) pf.df
+      else pf.df.filter(size(col("callpath")) >= d0 &&
+        slice(col("callpath"), 1, d0) === lit(start.toArray))
+    val winners = sub
+      .filter(size(col("callpath")) > d0)
       // greatest(..., 0): the size>0 filter already excludes the root at runtime,
       // but on literal/in-memory sources constant folding evaluates the slice
       // BEFORE the filter and a -1 length aborts the whole plan
@@ -165,12 +176,13 @@ object Ops {
         Window.partitionBy("__parent").orderBy(desc(s"`$base`"), asc("id"))))
       .filter(col("__rk") === 1 && col(s"`$base`") >= threshold)
       .select(col("callpath").as("__winner"))
-    val prefixes = pf.df
+    val prefixes = sub
       .select(col("id").as("__nid"), col("callpath"))
       .withColumn("__k",
-        explode(when(size(col("callpath")) > 0, sequence(lit(1), size(col("callpath"))))
+        explode(when(size(col("callpath")) > d0,
+          sequence(lit(d0 + 1), size(col("callpath"))))
           .otherwise(array().cast("array<int>"))))
-      .select(col("__nid"), size(col("callpath")).as("__depth"),
+      .select(col("__nid"), (size(col("callpath")) - d0).as("__depth"),
         slice(col("callpath"), lit(1), col("__k")).as("__winner"))
     val hotIds = prefixes
       .join(winners, "__winner")
@@ -178,9 +190,10 @@ object Ops {
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === col("__depth"))
       .select(col("__nid"))
-    // the root (empty callpath, zero prefixes) is always on the path
-    pf.copy(df = pf.df.join(hotIds, pf.df("id") === hotIds("__nid"), "left_semi")
-      .unionByName(pf.df.filter(size(col("callpath")) === 0)))
+    // the start node (zero prefixes beyond d0) is always on the path — the greedy
+    // descent seeds there; for a root start that is the empty-callpath root row
+    pf.copy(df = sub.join(hotIds, sub("id") === hotIds("__nid"), "left_semi")
+      .unionByName(sub.filter(size(col("callpath")) === d0)))
   }
 
   /** Flame-graph geometry (reference HD.py:430-540, minus matplotlib): one row per

@@ -129,6 +129,23 @@ class ParitySpec extends AnyFunSuite {
     }
   }
 
+  test("one-shot hot path equals the driver loop from a prefix start (both fixtures)") {
+    assume(hasFixtures)
+    for (pf <- Seq(pf1, pf2)) {
+      // restart from a mid-path node: the 3rd node of the root-start hot path
+      val start = Ops.hotPathIterative(pf).df
+        .filter(size(col("callpath")) === 2)
+        .select("callpath").head().getSeq[Long](0).toSeq
+      for (th <- Seq(0.05, 0.01)) {
+        val loop = Ops.hotPathIterative(pf, callpath = start, threshold = th).df
+          .select("id").collect().map(_.getLong(0)).sorted
+        val oneShot = Ops.hotPathOneShot(pf, threshold = th, start = start).df
+          .select("id").collect().map(_.getLong(0)).sorted
+        assert(oneShot === loop, s"${pf.meta.dbPath} start=$start th=$th")
+      }
+    }
+  }
+
   test("hot-path leaf is the reference's leaf") {
     assume(hasFixtures)
     val leaf = Ops.hotPath(pf1).df
