@@ -91,6 +91,37 @@ object EventOps {
         .select("user_id", "n_events", "session_start")
         .orderBy("user_id", "session_start")
     }),
+
+    // As-of join — Spark has no ASOF JOIN, and the naive `l.ts >= r.ts` range join
+    // is a per-user cartesian that explodes at scale. The scale-safe formulation:
+    // tag and union both sides, ONE shuffle on user_id, and a last(ignoreNulls)
+    // running window carries the latest right-side row forward — views sort before
+    // clicks at equal ts, matching ASOF's inclusive bound. O(n log n) per user,
+    // zero row blowup, and the sort rides the exchange (no extra pass). Here: each
+    // click picks up the most recent at-or-before view by the same user (nulls
+    // where no view precedes); the DuckDB oracle is a literal ASOF LEFT JOIN.
+    "e08_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("__side"),
+          lit(null).cast("double").as("__vv"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+          lit(0).as("__side"), col("value").as("__vv"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(views)
+        .withColumn("view_ts",
+          last(when(col("__side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("view_value", last(col("__vv"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("view_value"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -118,5 +149,11 @@ object EventOps {
         "y AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
         "SELECT user_id, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start " +
         "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "e08_asof_join" ->
+      ("SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, " +
+        "strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, r.value AS view_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"),
   )
 }

@@ -363,6 +363,23 @@ object TextOps {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
+    // Benchmark decontamination (the train/test-overlap gate every training corpus
+    // needs): flag every corpus doc sharing any word-3-gram with the held-out eval
+    // slice, with the count of distinct shared shingles as the contamination
+    // evidence. `doc_id % 13 == 0` stands in for the benchmark suite; in production
+    // the eval side is a fixed handful of benchmark files — megabytes against
+    // 100 TB — so it is broadcast and the corpus side never shuffles for the
+    // probe: scan-local shingle explode -> broadcast hash join -> per-doc count
+    // with map-side combine.
+    "d11_decontam" -> ((s, d) => {
+      val dsh = distinctShinglesCached(s, d)
+      val evalSh = dsh.filter(col("doc_id") % 13 === 0).select("shingle").distinct()
+      dsh.filter(col("doc_id") % 13 =!= 0)
+        .join(broadcast(evalSh), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling (the training-data mixing stage): N docs
     // per language, ordered by a salted content-free hash so the sample is
     // reproducible, unbiased by doc_id locality, and identical on both engines.
@@ -606,6 +623,11 @@ object TextOps {
         ", losers AS (SELECT src FROM reach GROUP BY src HAVING min(dst) <> src) " +
         "SELECT doc_id, lang, n_chars FROM ex " +
         "WHERE doc_id NOT IN (SELECT src FROM losers) ORDER BY doc_id"),
+    "d11_decontam" ->
+      (ShCte + ", dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)" +
+        ", ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 13 = 0) " +
+        "SELECT doc_id, count(*) AS n_shared FROM dsh JOIN ev USING (shingle) " +
+        "WHERE doc_id % 13 <> 0 GROUP BY doc_id ORDER BY doc_id"),
     "t09_stratified_sample" ->
       ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM " +
         "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +

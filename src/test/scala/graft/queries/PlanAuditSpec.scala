@@ -87,6 +87,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("__pid"), p)
   }
 
+  test("e08: as-of join is one user-keyed exchange — no range join, no cartesian") {
+    val p = plan("e08_asof_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the union+window formulation has NO join at all: the carry-forward is a
+    // user_id-partitioned running window over the tagged union
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("d11: the eval shingle set broadcasts; the corpus probe never shuffles") {
+    val p = plan("d11_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-doc counts combine map-side before the doc_id exchange
+    assert(p.contains("partial_count"), p)
+  }
+
   test("e06 salted sessions equal plain sessions (salt-invariance)") {
     val e01 = graft.SparkEntry.queries("e01_sessions")(spark, sf).collect()
     val e06 = graft.SparkEntry.queries("e06_sessions_salted")(spark, sf).collect()
