@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - graft.queries.VectorOps  — similarity search + recall measurement + batched
   *    k-NN join (s01..s06), embedding near-dup (d08)
   *  - graft.queries.EventOps   — sessionization / windows / json / skew-safe salting
-  *    (e01..e06; e07 streaming dedup is spec-pinned in graft.streaming)
+  *    / dedup / as-of (e01..e08; e07's streaming semantics are additionally
+  *    spec-pinned in graft.streaming)
   *  - graft.queries.MediaOps   — multimodal decode/resize/frame-sample (m02..m04)
   * Every key has a DuckDB oracle in `oracleSql` with identical column names and a
   * pinned ORDER BY, per the driver's hash-compare contract (the MediaOps stub decode

@@ -11,13 +11,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Kernel for [[SimHash128]]: SimHash64's loop widened to the FULL md5 digest —
   * 128 ±1 vote positions from all 16 digest bytes instead of the leading 8, emitted
-  * as eight 16-bit band values. This is the documented scale knob for the SimHash
-  * dedup family (SCALECHECK.md): candidate generation buckets on (band, 16-bit
-  * value), so the 64-bit signature's 4 bands stop pruning once a shard approaches
-  * ~2^16 docs; 8 bands of a 128-bit signature keep the hamming-detection guarantee
-  * (any pair within hamming ≤ 7 shares a band — pigeonhole) at double the bit
-  * budget, and per-band collisions still require 16 exact bits. Tokenization and
-  * voting are byte-identical to SimHash64 (split on 0x20, empties included).
+  * as eight 16-bit columns that CONSUMERS pack into 4 bands × 32 bits
+  * (TextOps.simhash128CandidatePairs, SimHash128Spec). This is the documented scale
+  * knob for the SimHash dedup family (SCALECHECK.md): the 64-bit signature's 4×16-bit
+  * bands stop pruning once a shard approaches ~2^16 docs; keeping the SAME band
+  * count at double the width preserves the pigeonhole guarantee (any pair within
+  * hamming ≤ 3 of the 128 bits shares a band) while random per-band collisions now
+  * require 32 exact bits. The kernel stays at 16-bit columns only to avoid 64-bit
+  * sign hazards in storage/compare — banding policy lives in the consumer.
+  * Tokenization and voting are byte-identical to SimHash64 (split on 0x20, empties
+  * included).
   */
 object SimHash128Kernel {
   def eval(s: UTF8String): InternalRow = {

@@ -92,6 +92,19 @@ object EventOps {
         .orderBy("user_id", "session_start")
     }),
 
+    // Exactly-once dedup, batch side (e07's streaming semantics — bounded-state
+    // dropDuplicatesWithinWatermark + checkpointed replay suppression — are pinned
+    // in EventStreamsSpec; this entry makes the operator's batch path machine-
+    // checked like every other key). event_id is the events table's key, so the
+    // dedup is a deterministic identity projection; on a corpus WITH duplicate ids
+    // the streaming path keeps the first arrival and the batch oracle the min-ts
+    // row — same "one row per id" contract.
+    "e07_dedup_events" -> ((s, d) =>
+      EventStreams.dedupEvents(events(s, d))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
+        .orderBy("event_id")),
+
     // As-of join — Spark has no ASOF JOIN, and the naive `l.ts >= r.ts` range join
     // is a per-user cartesian that explodes at scale. The scale-safe formulation:
     // tag and union both sides, ONE shuffle on user_id, and a last(ignoreNulls)
@@ -100,26 +113,32 @@ object EventOps {
     // zero row blowup, and the sort rides the exchange (no extra pass). Here: each
     // click picks up the most recent at-or-before view by the same user (nulls
     // where no view precedes); the DuckDB oracle is a literal ASOF LEFT JOIN.
+    //
+    // The matched view rides as ONE struct through a single last(ignoreNulls), so
+    // view_ts and view_value always come from the SAME view row even when a view's
+    // value is null; equal-(user_id, ts) view ties break on event_id (the window
+    // orders views by it, and `last` takes the highest) — deterministic where a
+    // literal ASOF's pick would be engine-arbitrary.
     "e08_asof_join" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("__side"),
-          lit(null).cast("double").as("__vv"))
+          col("event_id").as("__ord"), lit(null).cast("double").as("__vv"))
       val views = ev.filter(col("event_type") === "view")
         .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
-          lit(0).as("__side"), col("value").as("__vv"))
-      val w = Window.partitionBy("user_id").orderBy("ts", "__side")
+          lit(0).as("__side"), col("event_id").as("__ord"), col("value").as("__vv"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "__side", "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       clicks.unionByName(views)
-        .withColumn("view_ts",
-          last(when(col("__side") === 0, col("ts")), ignoreNulls = true).over(w))
-        .withColumn("view_value", last(col("__vv"), ignoreNulls = true).over(w))
+        .withColumn("__view", last(
+          when(col("__side") === 0, struct(col("ts").as("vts"), col("__vv").as("vv"))),
+          ignoreNulls = true).over(w))
         .filter(col("__side") === 1)
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
-          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
-          col("view_value"))
+          date_format(col("__view.vts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("__view.vv").as("view_value"))
         .orderBy("event_id")
     }),
   )
@@ -149,6 +168,10 @@ object EventOps {
         "y AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
         "SELECT user_id, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start " +
         "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "e07_dedup_events" ->
+      ("SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY event_id"),
     "e08_asof_join" ->
       ("SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, " +
         "strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, r.value AS view_value " +

@@ -153,35 +153,38 @@ object Hierarchy {
         .select(col("id"), size(col("path")).cast("long").as("depth"))
         .orderBy("id")),
 
-    // A14: hot path — greedy argmax descent (reference HD.py:403-428): at each depth,
-    // restrict to the chosen prefix, take the children, pick the max-value child.
-    // Driver loop of tiny argmax jobs (depth <= 3 here; <= 25 in real profiles).
+    // A14: hot path — greedy argmax descent (reference HD.py:403-428) as ONE
+    // declarative plan, the hierarchy-side port of hpct.Ops.hotPathOneShot's
+    // rank-window + prefix-explode + count-matches shape (proven equal to the
+    // per-depth argmax loop by ParitySpec on the hpct frames): a node is on the
+    // hot path iff EVERY prefix of its path (itself included) is the rank-1 child
+    // of its sibling group (max value, min id on ties). Zero driver iteration —
+    // no per-depth collect jobs — so the same plan handles depth 25 as depth 3.
     "a14_hot_path" -> ((s, d) => {
       val n = nodesCached(s, d) // shared cache — NOT unpersisted here
-      var prefix: Seq[Long] = Nil
-        val hot = Seq.newBuilder[Long]
-        var continue = true
-        while (continue) {
-          val depth = prefix.length + 1
-          val cand =
-            if (prefix.isEmpty) n.filter(size(col("path")) === 1)
-            else n.filter(size(col("path")) === depth &&
-              slice(col("path"), 1, prefix.length) === array(prefix.map(lit): _*))
-          val top = cand.orderBy(desc("value"), asc("id")).limit(1)
-            .select("id", "path").collect()
-          if (top.isEmpty) continue = false
-          else {
-            val row = top.head
-            hot += row.getLong(0)
-            prefix = row.getSeq[Long](1)
-            if (prefix.length >= 3) continue = false
-          }
-        }
-        val hotIds = hot.result()
-        n.filter(col("id").isin(hotIds: _*))
-          .select(col("id"), pathStr.as("path_str"), col("value"),
-            size(col("path")).cast("long").as("depth"))
-          .orderBy("depth")
+      // rank-1 nodes per sibling group (depth-1 nodes all share the empty parent)
+      val winners = n
+        .withColumn("__parent",
+          slice(col("path"), lit(1), greatest(size(col("path")) - 1, lit(0))))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("__parent").orderBy(desc("value"), asc("id"))))
+        .filter(col("__rk") === 1)
+        .select(col("path").as("__winner"))
+      // every node × its path prefixes (O(depth) rows per node)
+      val prefixes = n
+        .select(col("id").as("__nid"), col("path"))
+        .withColumn("__k", explode(sequence(lit(1), size(col("path")))))
+        .select(col("__nid"), size(col("path")).as("__depth"),
+          slice(col("path"), lit(1), col("__k")).as("__winner"))
+      // on the hot path iff ALL prefixes are winners
+      val hotIds = prefixes.join(winners, "__winner")
+        .groupBy("__nid", "__depth").agg(count(lit(1)).as("__hits"))
+        .filter(col("__hits") === col("__depth"))
+        .select(col("__nid").as("id"))
+      n.join(hotIds, Seq("id"), "left_semi")
+        .select(col("id"), pathStr.as("path_str"), col("value"),
+          size(col("path")).cast("long").as("depth"))
+        .orderBy("depth")
     }),
 
     // A15: flame-graph geometry (reference HD.py:430-540): first layer normalized to

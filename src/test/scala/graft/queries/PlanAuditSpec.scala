@@ -79,6 +79,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p)
   }
 
+  test("a14: hot path is ONE declarative plan — no driver-side descent loop") {
+    // the one-shot formulation resolves the whole greedy descent inside a single
+    // plan: a per-parent rank window + prefix explode + count-matches semi join.
+    // A driver loop would show up as multiple jobs and a .collect() per depth —
+    // here the plan itself contains the rank window and the semi join, and
+    // building the DataFrame triggers no job at all.
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = graft.SparkEntry.queries("a14_hot_path")(spark, sf)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter === jobsBefore, "building the a14 plan must launch no jobs")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(df.collect().length === 3)
+  }
+
   test("b10: no window moves the whole dataset to one partition") {
     // the only unpartitioned window allowed is over the per-partition counts
     // (bounded by the partition count); the data window is keyed by __pid
