@@ -61,6 +61,7 @@ object Bench {
         try {
           graft.queries.Hierarchy.prewarm(spark, sfDir)
           graft.queries.TextOps.prewarm(spark, sfDir)
+          graft.queries.VectorOps.prewarm(spark, sfDir)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] cache prewarm failed: ${e.getMessage}")
         }

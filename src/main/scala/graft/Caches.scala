@@ -12,5 +12,6 @@ object Caches {
   def clearAll(): Unit = {
     graft.queries.Hierarchy.clearCaches()
     graft.queries.TextOps.clearCaches()
+    graft.queries.VectorOps.clearCaches()
   }
 }

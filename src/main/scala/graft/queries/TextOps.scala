@@ -47,6 +47,38 @@ object TextOps {
   private def distinctShinglesCached(s: SparkSession, d: String): DataFrame =
     distinctShinglesCache.getOrElseUpdate((s, d), shinglesCached(s, d).distinct().cache())
 
+  /** d11's probe frame: distinct word-3-gram shingles over NORMALIZED text —
+    * lowercase + punctuation-strip (t03's normalization) applied BEFORE
+    * tokenizing, as production decontamination pipelines do: contamination hides
+    * behind case and punctuation trivially ("The quick fox." vs "the quick fox"),
+    * so the raw-text shingles d05 verifies near-dups with are the wrong probe key
+    * here. Public so DecontamSpec can drive it with adversarial fixtures.
+    */
+  private[graft] def decontamShinglesOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs.withColumn("text",
+      lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).distinct()
+
+  private val decontamShinglesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def decontamShinglesCached(s: SparkSession, d: String): DataFrame =
+    decontamShinglesCache.getOrElseUpdate((s, d),
+      decontamShinglesOf(documents(s, d)).cache())
+
+  /** Benchmark decontamination over an arbitrary (doc_id, text) frame: every
+    * non-eval doc sharing any normalized word-3-gram with the eval slice
+    * (doc_id % 13 == 0), with the distinct shared-shingle count as evidence.
+    * The eval side broadcasts (benchmark suites are MBs against a 100 TB corpus);
+    * the corpus probe stays scan-local with map-side-combined counts.
+    */
+  private[graft] def decontaminateFrom(dsh: DataFrame): DataFrame = {
+    val evalSh = dsh.filter(col("doc_id") % 13 === 0).select("shingle").distinct()
+    dsh.filter(col("doc_id") % 13 =!= 0)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** word 3-gram shingles: (doc_id, shingle), one row per position. */
   private def shinglesOf(docs: DataFrame): DataFrame =
     docs
@@ -120,11 +152,13 @@ object TextOps {
     bandsCached(s, d).count()
     simhashCached(s, d).count()
     distinctShinglesCached(s, d).count()
+    decontamShinglesCached(s, d).count()
   }
 
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
   def clearCaches(): Unit = {
-    for (m <- Seq(shinglesCache, bandsCache, simhashCache, distinctShinglesCache)) {
+    for (m <- Seq(shinglesCache, bandsCache, simhashCache, distinctShinglesCache,
+        decontamShinglesCache)) {
       m.values.foreach(_.unpersist())
       m.clear()
     }
@@ -200,11 +234,15 @@ object TextOps {
     * (SimHash128Spec: bands 0–3 of the kernel equal the oracle-checked simhash64
     * by construction); ScaleCheck measures the candidate reduction at sf1.
     */
-  def simhash128CandidatePairs(s: SparkSession, d: String): DataFrame = {
+  private def simhash128Sigs(s: SparkSession, d: String): DataFrame = {
     graft.functions.SimHash128.register(s)
-    val sh = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"), expr("simhash128(lower(text))").as("x"))
       .select(col("doc_id") +: (0 to 7).map(b => col(s"x.s$b").as(s"s$b")): _*)
+  }
+
+  def simhash128CandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash128Sigs(s, d)
     // 32-bit band b = its two 16-bit halves packed (always < 2^32: no sign hazard)
     def banded(p: String) = sh
       .select(col("doc_id").as(s"id_$p"),
@@ -215,6 +253,26 @@ object TextOps {
     banded("a").join(banded("b"), Seq("bi", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** The full d07 pipeline at the 128-bit scale setting — candidates from
+    * [[simhash128CandidatePairs]] joined back to the signatures and verified at
+    * hamming ≤ 3 over all 128 bits (the 4×32 banding's pigeonhole guarantee:
+    * every such pair provably shares a band, so candidate generation loses
+    * nothing the verify would keep). Same id-pairs-first join shape as d07;
+    * ScaleCheck measures it end to end across scale factors.
+    */
+  def simhash128NearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash128Sigs(s, d)
+    def sigs(p: String) = sh.select(col("doc_id").as(s"id_$p") +:
+      (0 to 7).map(b => col(s"s$b").as(s"$p$b")): _*)
+    simhash128CandidatePairs(s, d)
+      .join(sigs("a"), "id_a").join(sigs("b"), "id_b")
+      .withColumn("hamming",
+        (0 to 7).map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
   }
 
   /** t08's keep predicate (token count, stopword ratio, mean word length bounds) —
@@ -364,21 +422,15 @@ object TextOps {
     }),
 
     // Benchmark decontamination (the train/test-overlap gate every training corpus
-    // needs): flag every corpus doc sharing any word-3-gram with the held-out eval
+    // needs): flag every corpus doc sharing any NORMALIZED word-3-gram (lowercase,
+    // punctuation-stripped — see [[decontamShinglesOf]]) with the held-out eval
     // slice, with the count of distinct shared shingles as the contamination
     // evidence. `doc_id % 13 == 0` stands in for the benchmark suite; in production
     // the eval side is a fixed handful of benchmark files — megabytes against
     // 100 TB — so it is broadcast and the corpus side never shuffles for the
     // probe: scan-local shingle explode -> broadcast hash join -> per-doc count
     // with map-side combine.
-    "d11_decontam" -> ((s, d) => {
-      val dsh = distinctShinglesCached(s, d)
-      val evalSh = dsh.filter(col("doc_id") % 13 === 0).select("shingle").distinct()
-      dsh.filter(col("doc_id") % 13 =!= 0)
-        .join(broadcast(evalSh), Seq("shingle"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        .orderBy("doc_id")
-    }),
+    "d11_decontam" -> ((s, d) => decontaminateFrom(decontamShinglesCached(s, d))),
 
     // Deterministic stratified sampling (the training-data mixing stage): N docs
     // per language, ordered by a salted content-free hash so the sample is
@@ -624,7 +676,12 @@ object TextOps {
         "SELECT doc_id, lang, n_chars FROM ex " +
         "WHERE doc_id NOT IN (SELECT src FROM losers) ORDER BY doc_id"),
     "d11_decontam" ->
-      (ShCte + ", dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)" +
+      ("WITH toks AS (SELECT doc_id, " +
+        "string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ') AS tk " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks))" +
+        ", dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)" +
         ", ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 13 = 0) " +
         "SELECT doc_id, count(*) AS n_shared FROM dsh JOIN ev USING (shingle) " +
         "WHERE doc_id % 13 <> 0 GROUP BY doc_id ORDER BY doc_id"),
