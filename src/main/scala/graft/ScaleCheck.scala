@@ -231,6 +231,75 @@ object ScaleCheck {
       graft.Caches.clearAll()
     }
 
+    // every operator a 100 TB corpus-cleaning run executes end-to-end, measured at
+    // sf1 (the round-6 verdict's gap: d10/d11/t07/t09/e07/e08 and the 128-bit
+    // VERIFY path had sf0.1 numbers only). Caches are cold here (cleared above),
+    // so each timing includes its own intermediate builds.
+    {
+      def q(name: String) = timed(graft.SparkEntry.queries(name)(spark, dst).count())
+      val (nD10, sD10) = q("d10_clean_corpus")
+      val (nD11, sD11) = q("d11_decontam")
+      val (nT07, sT07) = q("t07_bigram_topk")
+      val (nT09, sT09) = q("t09_stratified_sample")
+      val (nE07, sE07) = q("e07_dedup_events")
+      val (nE08, sE08) = q("e08_asof_join")
+      val (nV128, sV128) = timed(graft.queries.TextOps.simhash128NearDup(spark, dst).count())
+      println(f"""SCALECHECK {"step":"round7_ops","sf":"sf1","d10_rows":$nD10,"d10_sec":$sD10%.1f,""" +
+        f""""d11_rows":$nD11,"d11_sec":$sD11%.1f,"t07_rows":$nT07,"t07_sec":$sT07%.1f,""" +
+        f""""t09_rows":$nT09,"t09_sec":$sT09%.1f,"e07_rows":$nE07,"e07_sec":$sE07%.1f,""" +
+        f""""e08_rows":$nE08,"e08_sec":$sE08%.1f,"d07v128_pairs":$nV128,"d07v128_sec":$sV128%.1f}""")
+      graft.Caches.clearAll()
+    }
+
+    // the auto-K rule (ivfDefaults: k ≈ √N, nprobe = k/16) measured at two scale
+    // factors: probed fraction must track nprobe/k while K grows √10 per decade.
+    for ((sf, dir) <- Seq("sf0.1" -> s"$base/sf0.1", "sf1" -> dst)) {
+      graft.functions.VecDot.register(spark)
+      val emb = graft.queries.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val (k, nprobe) = graft.queries.VectorOps.ivfDefaults(n)
+      val (frac, sec) = timed {
+        val cents = graft.queries.VectorOps.ivfCentroids(emb, k, 1).localCheckpoint()
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val probed = graft.queries.VectorOps.ivfProbe(cents, q, nprobe)
+        graft.queries.VectorOps.ivfAssign(emb, cents)
+          .join(broadcast(probed), "cid").count().toDouble / n
+      }
+      println(f"""SCALECHECK {"step":"ivf_auto","sf":"$sf","n":$n,"k":$k,"nprobe":$nprobe,""" +
+        f""""ideal_fraction":${nprobe.toDouble / k}%.4f,"probed_fraction":$frac%.4f,"sec":$sec%.1f}""")
+    }
+
+    // many-file loadMany: 50 copies of the reference fixture parsed in executor
+    // tasks — wall must be ≪ 50× the single-file load (per-file parallelism), and
+    // every per-db ratio aggregate must be identical across the 50 dbs (per-db
+    // ratio computations never leak across files).
+    {
+      val fixture = "/root/reference/test/data/experiment1.xml"
+      if (new java.io.File(fixture).exists()) {
+        val many = 50
+        val tmp = java.nio.file.Files.createTempDirectory("graft-xmlmany")
+        val paths = (0 until many).map { i =>
+          val p = tmp.resolve(f"exp_$i%02d.xml")
+          java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), p)
+          p.toString
+        }
+        val (nSingle, secSingle) = timed(
+          graft.hpct.ProfileLoad.load(spark, fixture).df.count())
+        val ((rows, dbSigs), secMany) = timed {
+          val mpf = graft.hpct.ProfileLoad.loadMany(spark, paths)
+          val ratioCols = mpf.df.columns.filter(_.endsWith("ratio of total")).toSeq
+          val sigs = mpf.df.groupBy("db")
+            .agg(count(lit(1)).as("n"),
+              ratioCols.map(c => round(sum(col(s"`$c`")), 6).as(c)): _*)
+            .drop("db").distinct().count()
+          (mpf.df.count(), sigs)
+        }
+        println(f"""SCALECHECK {"step":"loadmany","files":$many,"rows":$rows,""" +
+          f""""single_rows":$nSingle,"single_sec":$secSingle%.1f,"many_sec":$secMany%.1f,""" +
+          f""""speedup_vs_serial":${many * secSingle / secMany}%.1f,"distinct_db_signatures":$dbSigs}""")
+      }
+    }
+
     spark.stop()
   }
 }

@@ -57,6 +57,22 @@ class IvfScalingSpec extends AnyFunSuite {
     assert(r1.head._1 === 0L && r1.head._2 === 1.0)
   }
 
+  test("ivfDefaults codifies k ≈ √N with a ≈1/16 probed fraction") {
+    // calibration point: SCALECHECK's sf1 corpus (N = 5,000) measured at K=64/
+    // nprobe=4 — the rule lands in the same regime (k = 71, nprobe = 4)
+    assert(VectorOps.ivfDefaults(5000L) === ((71, 4)))
+    // per-decade growth is √10: a 100× corpus grows k 10×, not 100×
+    val (k1, _) = VectorOps.ivfDefaults(1000L * 1000)
+    val (k2, _) = VectorOps.ivfDefaults(100L * 1000 * 1000)
+    assert(k1 === 1000 && k2 === 10000)
+    // degenerate corpora stay valid (k, nprobe >= 1)
+    assert(VectorOps.ivfDefaults(1L) === ((1, 1)))
+    for (n <- Seq(10L, 5000L, 1000000L)) {
+      val (k, np) = VectorOps.ivfDefaults(n)
+      assert(np >= 1 && np <= k, s"n=$n")
+    }
+  }
+
   test("oracle-pinned variants are the K=16 parameterizations (plan, not a fork)") {
     val s = spark
     val viaParam = VectorOps.ivfSearch(s, sf, k = 16, nprobe = 4, lloydIters = 1)

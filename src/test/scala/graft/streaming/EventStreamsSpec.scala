@@ -173,6 +173,66 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state survives a RESTART from the checkpoint: a replay " +
+      "arriving in the second incarnation is still suppressed") {
+    // exactly-once at 100 TB lives or dies on checkpoint recovery — this drives
+    // two separate StreamingQuery incarnations over ONE checkpoint dir
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val source = mem.toDF().toDF("event_id", "ts", "value")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dedup2-sink").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-dedup2-ck").toString
+    def start() = EventStreams.dedupEvents(source, lateness = "60 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir).outputMode("append").start()
+    val q1 = start()
+    mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // id=1 replays AFTER the restart: only the recovered state store can know
+      // it was already emitted; id=3 is genuinely new
+      mem.addData((1L, ts(0), 1.0), (3L, ts(2), 3.0))
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(out === Array(1L, 2L, 3L),
+        "restart lost dedup state (duplicate) or dropped a row")
+    } finally q2.stop()
+  }
+
+  test("custom sessionizer recovers GroupState across a RESTART: a session spanning " +
+      "the restart is emitted exactly once, complete") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val source = mem.toDF().toDF("user_id", "ts", "value")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess2-sink").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sess2-ck").toString
+    def start() = EventStreams.sessionizeCustomStream(source, gap = "30 minutes",
+        lateness = "5 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir).outputMode("append").start()
+    val q1 = start()
+    mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0)) // open session, lives in GroupState
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // extends the PRE-restart pending session — only recovered state can merge it
+      mem.addData((1L, ts(20), 3.0))
+      q2.processAllAvailable()
+      // advance the watermark far past end + gap to finalize via timeout
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:30:00"), 9.0))
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outDir).filter(col("user_id") === 1)
+        .select("n_events", "session_start", "session_end", "session_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+      assert(out.length === 1, s"session split or duplicated across restart: ${out.toSeq}")
+      assert(out.head === ((3L, ts(0), ts(20), 6.0)))
+    } finally q2.stop()
+  }
+
   test("tumblingCountsStream aggregates into aligned hourly windows") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
