@@ -172,11 +172,12 @@ object VectorOps {
     * constant without a codified per-decade rule (bandBits has +4 bits per 10×;
     * K gets ×√10 ≈ 3.2 per 10×): k ≈ √N keeps every inverted list ≈ √N rows, so
     * an nprobe-probe scans ≈ nprobe·√N rows = nprobe/k of the corpus;
-    * nprobe = max(1, k/16) pins that probed fraction at ≈ 1/16. Calibration
-    * point: SCALECHECK.md's K=64/nprobe=4 measurement on the sf1 corpus
-    * (N = 5,000, √N ≈ 71) — probed fraction 6.39% vs ideal 6.25%, recall@5 1.0
-    * trained; the `ivf_auto` ScaleCheck step measures this rule directly at two
-    * scale factors.
+    * nprobe = max(1, k/16) pins that probed fraction at ≈ 1/16. Measured
+    * (SCALECHECK.md `ivf_auto`): sf0.1 (N=2,000 → k=45, nprobe=2) probes 5.2%
+    * vs ideal 4.4%; sf1 (N=20,000 → k=141, nprobe=8) probes 5.3% vs ideal 5.7%
+    * — the fraction tracks nprobe/k across the decade while the fixed-K
+    * calibration run (K=64/nprobe=4 at sf1: 6.39% vs ideal 6.25%) anchors the
+    * same regime.
     */
   def ivfDefaults(n: Long): (Int, Int) = {
     val k = math.max(1, math.round(math.sqrt(n.toDouble)).toInt)

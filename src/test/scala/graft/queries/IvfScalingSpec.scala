@@ -58,8 +58,9 @@ class IvfScalingSpec extends AnyFunSuite {
   }
 
   test("ivfDefaults codifies k ≈ √N with a ≈1/16 probed fraction") {
-    // calibration point: SCALECHECK's sf1 corpus (N = 5,000) measured at K=64/
-    // nprobe=4 — the rule lands in the same regime (k = 71, nprobe = 4)
+    // the sf1 embedding corpus (N = 20,000): the rule picks k=141/nprobe=8 —
+    // SCALECHECK's ivf_auto step measures 5.3% probed vs the 5.7% ideal there
+    assert(VectorOps.ivfDefaults(20000L) === ((141, 8)))
     assert(VectorOps.ivfDefaults(5000L) === ((71, 4)))
     // per-decade growth is √10: a 100× corpus grows k 10×, not 100×
     val (k1, _) = VectorOps.ivfDefaults(1000L * 1000)
