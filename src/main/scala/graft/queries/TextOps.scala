@@ -54,9 +54,10 @@ object TextOps {
     * so the raw-text shingles d05 verifies near-dups with are the wrong probe key
     * here. Public so DecontamSpec can drive it with adversarial fixtures.
     */
-  private[graft] def decontamShinglesOf(docs: DataFrame): DataFrame =
-    shinglesOf(docs.withColumn("text",
-      lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).distinct()
+  private[graft] def decontamShinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.NormalizeText.register(docs.sparkSession)
+    shinglesOf(docs.withColumn("text", expr("normalize_text(text)"))).distinct()
+  }
 
   private val decontamShinglesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -477,12 +478,17 @@ object TextOps {
           col("lang"))
         .orderBy("doc_id")),
 
-    // Document fingerprint: md5 over punctuation-stripped lowercased text.
-    "t03_fingerprint" -> ((s, d) =>
+    // Document fingerprint: md5 over punctuation-stripped lowercased text. The
+    // normalization is the native `normalize_text` byte loop (provably equal to
+    // lower(regexp_replace(..)) — NormalizeTextSpec); the regex scan + lowercase
+    // copy it replaces was the slowest text row of the sf1 bench.
+    "t03_fingerprint" -> ((s, d) => {
+      graft.functions.NormalizeText.register(s)
       documents(s, d)
         .select(col("doc_id"),
-          md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("binary")).as("fp"))
-        .orderBy("doc_id")),
+          md5(expr("normalize_text(text)").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
 
     // Rolling-window fingerprint (winnowing family): slide an 8-char window over the
     // text, hash each window, keep the minimum — robust to local edits, unlike the
