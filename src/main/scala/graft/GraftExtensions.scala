@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHash8, NormalizeText, RollingFp, SimHash128, SimHash64, TokenHash16, VecDot}
+import graft.functions.{MinHash8, NormalizeText, RollingFp, SimHash128, SimHash64, TokenCounts, TokenHash16, VecDot}
 
 /** Cluster-wide registration of graft's native SQL functions via
   * `spark.sql.extensions=graft.GraftExtensions` — the standard way to ship custom
@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "normalize_text takes one argument")
         NormalizeText(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "token_counts takes one argument")
+        TokenCounts(args.head)
       }))
   }
 }

@@ -449,15 +449,17 @@ object TextOps {
         .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
         .orderBy("lang", "rk")),
 
-    // Token counting, whitespace + BPE-ish regex segmentation (letters runs, digit
-    // runs, single punctuation) — both pure codegen'd projections.
-    "t04_token_count" -> ((s, d) =>
+    // Token counting, whitespace + BPE-ish segmentation (letter runs, digit runs,
+    // single other chars) — the native `token_counts` byte loop (provably equal
+    // to the split + regexp_extract_all composition, TokenCountsSpec), which
+    // counts segments without materializing a match array per row.
+    "t04_token_count" -> ((s, d) => {
+      graft.functions.TokenCounts.register(s)
       documents(s, d)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_ws"),
-          size(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), expr("token_counts(text)").as("tc"))
+        .select(col("doc_id"), col("tc.n_ws").as("n_ws"), col("tc.n_bpe").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
 
     // Text quality stats: char/token counts + stopword ratio (quality scoring).
     "t01_textstats" -> ((s, d) =>
