@@ -19,6 +19,39 @@ object EventOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The scale-safe as-of join (e08): each click picks up the most recent
+    * at-or-before view by the same user (nulls where no view precedes). Instead
+    * of a per-user range-join cartesian: tag and union both sides, ONE shuffle
+    * on user_id, and a last(ignoreNulls) running window carries the latest view
+    * forward — views sort before clicks at equal ts, matching ASOF's inclusive
+    * bound. O(n log n) per user, zero row blowup, the sort rides the exchange.
+    *
+    * The matched view rides as ONE struct through a single last(ignoreNulls), so
+    * view_ts and view_value always come from the SAME view row even when a
+    * view's value is null; equal-(user_id, ts) view ties break on event_id (the
+    * window orders views by it, and `last` takes the highest) — deterministic
+    * where a literal ASOF's pick would be engine-arbitrary. AsofSpec pins both
+    * properties on adversarial fixtures the parquet corpus doesn't contain.
+    */
+  private[graft] def asofViewBeforeClick(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("__side"),
+        col("event_id").as("__ord"), lit(null).cast("double").as("__vv"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("__side"), col("event_id").as("__ord"), col("value").as("__vv"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "__side", "__ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(views)
+      .withColumn("__view", last(
+        when(col("__side") === 0, struct(col("ts").as("vts"), col("__vv").as("vv"))),
+        ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("__view.vts").as("view_ts"), col("__view.vv").as("view_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e01_sessions" -> ((s, d) =>
       EventStreams.sessionize(events(s, d), "30 minutes")
@@ -106,41 +139,14 @@ object EventOps {
         .orderBy("event_id")),
 
     // As-of join — Spark has no ASOF JOIN, and the naive `l.ts >= r.ts` range join
-    // is a per-user cartesian that explodes at scale. The scale-safe formulation:
-    // tag and union both sides, ONE shuffle on user_id, and a last(ignoreNulls)
-    // running window carries the latest right-side row forward — views sort before
-    // clicks at equal ts, matching ASOF's inclusive bound. O(n log n) per user,
-    // zero row blowup, and the sort rides the exchange (no extra pass). Here: each
-    // click picks up the most recent at-or-before view by the same user (nulls
-    // where no view precedes); the DuckDB oracle is a literal ASOF LEFT JOIN.
-    //
-    // The matched view rides as ONE struct through a single last(ignoreNulls), so
-    // view_ts and view_value always come from the SAME view row even when a view's
-    // value is null; equal-(user_id, ts) view ties break on event_id (the window
-    // orders views by it, and `last` takes the highest) — deterministic where a
-    // literal ASOF's pick would be engine-arbitrary.
-    "e08_asof_join" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("__side"),
-          col("event_id").as("__ord"), lit(null).cast("double").as("__vv"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
-          lit(0).as("__side"), col("event_id").as("__ord"), col("value").as("__vv"))
-      val w = Window.partitionBy("user_id").orderBy("ts", "__side", "__ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(views)
-        .withColumn("__view", last(
-          when(col("__side") === 0, struct(col("ts").as("vts"), col("__vv").as("vv"))),
-          ignoreNulls = true).over(w))
-        .filter(col("__side") === 1)
+    // is a per-user cartesian that explodes at scale; see [[asofViewBeforeClick]].
+    "e08_asof_join" -> ((s, d) =>
+      asofViewBeforeClick(events(s, d))
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
-          date_format(col("__view.vts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
-          col("__view.vv").as("view_value"))
-        .orderBy("event_id")
-    }),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("view_value"))
+        .orderBy("event_id")),
   )
 
   val oracles: Map[String, String] = Map(
