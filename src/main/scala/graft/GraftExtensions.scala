@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHash8, NormalizeText, RollingFp, SimHash128, SimHash64, TokenCounts, TokenHash16, VecDot}
+import graft.functions.{CountWordsIn, MinHash8, NormalizeText, RollingFp, SimHash128, SimHash64, TokenCounts, TokenHash16, VecDot}
 
 /** Cluster-wide registration of graft's native SQL functions via
   * `spark.sql.extensions=graft.GraftExtensions` — the standard way to ship custom
@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "token_counts takes one argument")
         TokenCounts(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("count_words_in"),
+      new ExpressionInfo(classOf[CountWordsIn].getName, "count_words_in"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "count_words_in takes two arguments")
+        CountWordsIn(args.head, args(1))
       }))
   }
 }

@@ -292,9 +292,16 @@ object TextOps {
   private val stopEn = Seq("the", "of", "and")
   private val stopEs = Seq("la", "el", "de")
 
+  /** Count of whitespace tokens of lower(text) in `words` — the native
+    * `count_words_in` byte loop (CountWordsInSpec pins it ≡ the
+    * size∘filter∘split composition, whose ArrayFilter lambda is interpreted).
+    * Callers register the function via [[registerKernels]].
+    */
   private def countIn(words: Seq[String]): Column =
-    size(filter(split(lower(col("text")), " "),
-      t => words.map(w => t === w).reduce(_ || _))).cast("long")
+    expr(s"count_words_in(text, '${words.mkString(",")}')")
+
+  private def registerKernels(s: SparkSession): Unit =
+    graft.functions.CountWordsIn.register(s)
 
   val queries: Map[String, Q] = Map(
     // Exact dedup, hash-grouped: one row per distinct content hash with the surviving
@@ -387,6 +394,7 @@ object TextOps {
     // mean word length derives from length(text) and the token count (texts are
     // single-space separated; the oracle uses the same identity).
     "t08_quality_filter" -> ((s, d) => {
+      registerKernels(s)
       val nTok = size(split(col("text"), " ")).cast("long")
       val nStop = countIn(Seq("the", "a")) // t01's stop list
       val stopRatio = nStop.cast("double") / nTok
@@ -408,6 +416,7 @@ object TextOps {
     // would feed downstream. At production scale each arrow materializes an
     // intermediate table; here the stages fuse into one plan per pass.
     "d10_clean_corpus" -> ((s, d) => {
+      registerKernels(s)
       val ex = documents(s, d).filter(qualityKeep)
         .withColumn("__rn", row_number().over(
           Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
@@ -462,23 +471,27 @@ object TextOps {
     }),
 
     // Text quality stats: char/token counts + stopword ratio (quality scoring).
-    "t01_textstats" -> ((s, d) =>
+    "t01_textstats" -> ((s, d) => {
+      registerKernels(s)
       documents(s, d)
         .select(col("doc_id"),
           length(col("text")).cast("long").as("nc"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           countIn(Seq("the", "a")).as("n_stop"))
         .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Language ID: marker-word score argmax (n-gram heuristic family).
-    "t02_langid" -> ((s, d) =>
+    "t02_langid" -> ((s, d) => {
+      registerKernels(s)
       documents(s, d)
         .select(col("doc_id"), col("lang"), countIn(stopEn).as("n_en"), countIn(stopEs).as("n_es"))
         .select(col("doc_id"),
           when(col("n_en") >= col("n_es"), "en").otherwise("es").as("pred_lang"),
           col("lang"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Document fingerprint: md5 over punctuation-stripped lowercased text. The
     // normalization is the native `normalize_text` byte loop (provably equal to
