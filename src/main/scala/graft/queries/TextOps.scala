@@ -458,6 +458,33 @@ object TextOps {
         .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
         .orderBy("lang", "rk")),
 
+    // Within-document repetition stats (the Gopher-family quality signal t08's
+    // length/stopword gate can't see: templated/boilerplate text repeats its own
+    // n-grams): per doc, the total bigram count, the most frequent bigram's
+    // count (ties break lexicographically for determinism), and their ratio.
+    // Plan: scan-local bigram explode -> (doc, bigram) count with map-side
+    // combine -> ONE doc_id exchange where a rank window picks the top bigram
+    // and a sum window totals the counts — the shuffle carries one row per
+    // DISTINCT (doc, bigram), never corpus token rows, and the rank is a
+    // WindowGroupLimit so each map partition forwards <= 1 row per doc group.
+    "t10_repetition" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id")
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(when(size(col("tk")) >= 2, sequence(lit(1), size(col("tk")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"), concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .withColumn("n_bigrams", sum("c").over(w))
+        .withColumn("rk", row_number().over(w.orderBy(desc("c"), asc("bigram"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("n_bigrams"), col("bigram").as("top_bigram"),
+          col("c").as("top_n"),
+          (round(col("c").cast("double") / col("n_bigrams"), 6) + lit(0.0)).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting, whitespace + BPE-ish segmentation (letter runs, digit runs,
     // single other chars) — the native `token_counts` byte loop (provably equal
     // to the split + regexp_extract_all composition, TokenCountsSpec), which
@@ -679,6 +706,16 @@ object TextOps {
         "bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram FROM " +
         "(SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)) " +
         "SELECT bigram, count(*) AS n FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
+    "t10_repetition" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram FROM " +
+        "(SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)), " +
+        "bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram), " +
+        "rk AS (SELECT doc_id, bigram, c, sum(c) OVER (PARTITION BY doc_id) AS n_bigrams, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rk FROM bc) " +
+        "SELECT doc_id, n_bigrams, bigram AS top_bigram, c AS top_n, " +
+        "round(CAST(c AS DOUBLE) / n_bigrams, 6) + 0 AS rep_ratio " +
+        "FROM rk WHERE rk = 1 ORDER BY doc_id"),
     "d10_clean_corpus" ->
       ("WITH RECURSIVE " +
         "qd AS (SELECT doc_id, text, lang, n_chars FROM " +

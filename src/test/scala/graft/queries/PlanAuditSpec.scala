@@ -129,8 +129,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("whole-stage codegen covers the scan-heavy queries") {
-    // AQE prints isFinalPlan=false (no codegen markers) until executed — run first
-    for (q <- Seq("b07_case_expr", "t01_textstats", "b20_math")) {
+    // AQE prints isFinalPlan=false (no codegen markers) until executed — run first.
+    // t01/t03/t04 route through the native kernels (count_words_in,
+    // normalize_text, token_counts) — codegen coverage here pins that the
+    // custom expressions don't break the WholeStageCodegen span.
+    for (q <- Seq("b07_case_expr", "t01_textstats", "t03_fingerprint",
+        "t04_token_count", "b20_math")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       df.collect() // executes THIS df's queryExecution (count() would build another)
       // codegen stages print as "*(n) Op" in the plan tree
