@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - graft.queries.Hierarchy  — tree-as-table analogs of §2.A (a08..a15, b14)
   *  - graft.queries.TextOps    — dedup: exact/MinHash-LSH/SimHash/Jaccard (d01..d07),
   *    near-dup clustering via connected components (d09, graft.queries.Components),
-  *    text analysis + KMV sketch + n-gram counts + quality gate (t01..t08),
+  *    text analysis + KMV sketch + n-gram counts + quality gate + repetition
+  *    stats (t01..t10),
   *    binary meta (m01)
   *  - graft.queries.VectorOps  — similarity search + recall measurement + batched
   *    k-NN join (s01..s06), embedding near-dup (d08)
