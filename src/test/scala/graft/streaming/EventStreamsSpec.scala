@@ -233,6 +233,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("an event later than the watermark horizon is DROPPED, not merged") {
+    // the state-bounding side of the watermark contract: EventStreamsSpec's
+    // bridging test pins that admitted-late events merge; this pins the
+    // complement — an event behind the watermark never resurrects or extends a
+    // finalized session (at 100 TB this is what lets executors drop state)
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val source = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionizeCustomStream(source, gap = "30 minutes",
+        lateness = "5 minutes")
+      .writeStream.format("memory").queryName("late_drop_out").outputMode("append").start()
+    try {
+      def emitted() = spark.table("late_drop_out")
+        .select("user_id", "n_events", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past session end + gap: session finalizes
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 13:00:00"), 9.0))
+      q.processAllAvailable()
+      assert(emitted() === Array((1L, 2L, 3.0)))
+      // an event INSIDE the finalized session's interval, far behind the
+      // watermark (12:55): must be dropped — no new/updated user-1 session
+      mem.addData((1L, ts(5), 100.0))
+      q.processAllAvailable()
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 15:00:00"), 9.0))
+      q.processAllAvailable()
+      assert(emitted().filter(_._1 == 1L) === Array((1L, 2L, 3.0)),
+        "a behind-watermark event resurrected a finalized session")
+    } finally q.stop()
+  }
+
   test("tumblingCountsStream aggregates into aligned hourly windows") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
