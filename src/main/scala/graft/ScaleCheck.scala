@@ -128,6 +128,7 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val dstName = new java.io.File(dst).getName
     val marker = new java.io.File(dst, "_SYNTH_DONE")
     if (!marker.exists()) {
       val t0 = System.nanoTime()
@@ -140,26 +141,49 @@ object ScaleCheck {
       val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
     }
 
-    for ((sf, dir) <- Seq("sf0.01" -> s"$base/sf0.01", "sf0.1" -> s"$base/sf0.1", "sf1" -> dst)) {
+    // SPARK_GRAFT_STEPS=csv limits the run to named steps (candidates, ivf,
+    // recall, newops, round7, auto, loadmany) — partial re-measurement tool
+    val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").toSet)
+    def stepOn(name: String): Boolean = onlySteps.forall(_.contains(name))
+
+    if (stepOn("candidates"))
+    for ((sf, dir) <- Seq("sf0.01" -> s"$base/sf0.01", "sf0.1" -> s"$base/sf0.1", dstName -> dst)) {
       val docs = graft.queries.Tables.documents(spark, dir).count()
       val vecs = graft.queries.Tables.embeddings(spark, dir).count()
       val (d04, tD04) = timed(graft.queries.TextOps.candidatePairs(spark, dir).count())
-      val (d07, tD07) = timed(graft.queries.TextOps.simhashCandidatePairs(spark, dir).count())
+      // the 64-bit d07 measurement stays meaningful while its quadratic random
+      // term (~N²/2^16 × 4 distinct pairs) is still countable — past ~2M docs
+      // the predicted billions of collisions ARE the result (the regime the
+      // 128-bit knob replaces) and counting them measures the data, not the
+      // engine. Skip with the prediction printed (no silent caps).
+      val (d07, tD07) =
+        if (docs <= 2000000) timed(graft.queries.TextOps.simhashCandidatePairs(spark, dir).count())
+        else {
+          val predicted = docs.toDouble * docs / 65536 * 4
+          println(f"""SCALECHECK {"step":"candidates_skip","sf":"$sf","what":"d07_64bit",""" +
+            f""""reason":"quadratic regime: 4x2^16 buckets vs $docs docs","predicted_pairs":$predicted%.3g}""")
+          (-1L, -1.0)
+        }
       // the 128-bit signature: the documented d07 scale knob, measured alongside
       val (d07w, tD07w) = timed(graft.queries.TextOps.simhash128CandidatePairs(spark, dir).count())
       val emb = graft.queries.Tables.embeddings(spark, dir)
       val (d08, tD08) = timed(graft.queries.VectorOps.embedCandidatePairs(emb).count())
-      // the widened-band variant: the documented per-deployment scale knob, same plan
+      // the widened-band variants: +4 bits per decade is the documented rule, so
+      // measure BOTH the next decade's width (16-bit) and the one after (20-bit)
+      // at every SF — three points pin the rule, not one
       val (d08w, tD08w) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 16).count())
+      val (d08w2, tD08w2) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 20).count())
       println(f"""SCALECHECK {"step":"candidates","sf":"$sf","docs":$docs,"vecs":$vecs,""" +
         f""""d04_pairs":$d04,"d04_per_doc":${d04.toDouble / docs}%.4f,"d04_sec":$tD04%.1f,""" +
         f""""d07_pairs":$d07,"d07_per_doc":${d07.toDouble / docs}%.4f,"d07_sec":$tD07%.1f,""" +
         f""""d07w128_pairs":$d07w,"d07w128_per_doc":${d07w.toDouble / docs}%.4f,"d07w128_sec":$tD07w%.1f,""" +
         f""""d08_pairs":$d08,"d08_per_vec":${d08.toDouble / vecs}%.4f,"d08_sec":$tD08%.1f,""" +
-        f""""d08w16_pairs":$d08w,"d08w16_per_vec":${d08w.toDouble / vecs}%.4f,"d08w16_sec":$tD08w%.1f}""")
+        f""""d08w16_pairs":$d08w,"d08w16_per_vec":${d08w.toDouble / vecs}%.4f,"d08w16_sec":$tD08w%.1f,""" +
+        f""""d08w20_pairs":$d08w2,"d08w20_per_vec":${d08w2.toDouble / vecs}%.4f,"d08w20_sec":$tD08w2%.1f}""")
       graft.Caches.clearAll()
     }
 
+    if (stepOn("ivf"))
     // IVF at scale: K=64, 2 Lloyd refinements, nprobe=4 on sf1 — time the search
     // and measure the probed fraction (the fraction of the corpus the probe scans).
     {
@@ -181,10 +205,11 @@ object ScaleCheck {
           .collect().map(_.getLong(0)).mkString("[", ",", "]")
         (top, scanned.toDouble / emb.count())
       }
-      println(f"""SCALECHECK {"step":"ivf_k64","sf":"sf1","k":64,"nprobe":4,"lloyd_iters":2,""" +
+      println(f"""SCALECHECK {"step":"ivf_k64","sf":"$dstName","k":64,"nprobe":4,"lloyd_iters":2,""" +
         f""""probed_fraction":$frac%.4f,"top5":$res,"sec":$sec%.1f}""")
     }
 
+    if (stepOn("recall"))
     // ANN retrieval quality at sf1: the s05 recall query on the synthesized corpus,
     // plus the bucket-LSH banding sweep — recall@5 of an s02-style search across
     // (bands × bits) configurations, measuring the two knobs' trade: WIDTH bounds
@@ -192,7 +217,7 @@ object ScaleCheck {
     {
       val rows = graft.SparkEntry.queries("s05_ann_recall")(spark, dst).collect()
       val recalls = rows.map(r => s""""${r.getString(0)}":${r.getDouble(1)}""").mkString(",")
-      println(s"""SCALECHECK {"step":"ann_recall","sf":"sf1",$recalls}""")
+      println(s"""SCALECHECK {"step":"ann_recall","sf":"$dstName",$recalls}""")
 
       graft.functions.VecDot.register(spark)
       val emb = graft.queries.Tables.embeddings(spark, dst)
@@ -215,9 +240,10 @@ object ScaleCheck {
           val (r, n) = bucketRecall(bands, bits)
           s""""b${bands}x$bits":{"recall":$r,"cand":$n}"""
         }.mkString(",")
-      println(s"""SCALECHECK {"step":"bucket_sweep","sf":"sf1",$sweep}""")
+      println(s"""SCALECHECK {"step":"bucket_sweep","sf":"$dstName",$sweep}""")
     }
 
+    if (stepOn("newops"))
     // the round-driven operators at sf1: d09's component loop over 10× the verified
     // edges (rounds grow with log of cluster diameter, not corpus size) and s06's
     // batched k-NN join (one plan regardless of probe count).
@@ -226,11 +252,12 @@ object ScaleCheck {
         graft.SparkEntry.queries("d09_dedup_clusters")(spark, dst).count())
       val (nKnn, secS06) = timed(
         graft.SparkEntry.queries("s06_knn_join")(spark, dst).count())
-      println(f"""SCALECHECK {"step":"new_ops","sf":"sf1","d09_clustered_docs":$nClustered,""" +
+      println(f"""SCALECHECK {"step":"new_ops","sf":"$dstName","d09_clustered_docs":$nClustered,""" +
         f""""d09_sec":$secD09%.1f,"s06_rows":$nKnn,"s06_sec":$secS06%.1f}""")
       graft.Caches.clearAll()
     }
 
+    if (stepOn("round7"))
     // every operator a 100 TB corpus-cleaning run executes end-to-end, measured at
     // sf1 (the round-6 verdict's gap: d10/d11/t07/t09/e07/e08 and the 128-bit
     // VERIFY path had sf0.1 numbers only). Caches are cold here (cleared above),
@@ -244,16 +271,17 @@ object ScaleCheck {
       val (nE07, sE07) = q("e07_dedup_events")
       val (nE08, sE08) = q("e08_asof_join")
       val (nV128, sV128) = timed(graft.queries.TextOps.simhash128NearDup(spark, dst).count())
-      println(f"""SCALECHECK {"step":"round7_ops","sf":"sf1","d10_rows":$nD10,"d10_sec":$sD10%.1f,""" +
+      println(f"""SCALECHECK {"step":"round7_ops","sf":"$dstName","d10_rows":$nD10,"d10_sec":$sD10%.1f,""" +
         f""""d11_rows":$nD11,"d11_sec":$sD11%.1f,"t07_rows":$nT07,"t07_sec":$sT07%.1f,""" +
         f""""t09_rows":$nT09,"t09_sec":$sT09%.1f,"e07_rows":$nE07,"e07_sec":$sE07%.1f,""" +
         f""""e08_rows":$nE08,"e08_sec":$sE08%.1f,"d07v128_pairs":$nV128,"d07v128_sec":$sV128%.1f}""")
       graft.Caches.clearAll()
     }
 
+    if (stepOn("auto"))
     // the auto-K rule (ivfDefaults: k ≈ √N, nprobe = k/16) measured at two scale
     // factors: probed fraction must track nprobe/k while K grows √10 per decade.
-    for ((sf, dir) <- Seq("sf0.1" -> s"$base/sf0.1", "sf1" -> dst)) {
+    for ((sf, dir) <- Seq("sf0.1" -> s"$base/sf0.1", dstName -> dst)) {
       graft.functions.VecDot.register(spark)
       val emb = graft.queries.Tables.embeddings(spark, dir)
       val n = emb.count()
@@ -269,6 +297,7 @@ object ScaleCheck {
         f""""ideal_fraction":${nprobe.toDouble / k}%.4f,"probed_fraction":$frac%.4f,"sec":$sec%.1f}""")
     }
 
+    if (stepOn("loadmany"))
     // many-file loadMany: 50 copies of the reference fixture parsed in executor
     // tasks — wall must be ≪ 50× the single-file load (per-file parallelism), and
     // every per-db ratio aggregate must be identical across the 50 dbs (per-db
