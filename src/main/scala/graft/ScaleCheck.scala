@@ -280,21 +280,32 @@ object ScaleCheck {
 
     if (stepOn("auto"))
     // the auto-K rule (ivfDefaults: k ≈ √N, nprobe = k/16) measured at two scale
-    // factors: probed fraction must track nprobe/k while K grows √10 per decade.
+    // factors: probed fraction must track nprobe/k while K grows √10 per decade,
+    // and recall@5 must hold where the fixed K=16 demo quantizer degrades (the
+    // s05 row at large N) — searching the probed lists exactly, like ivfSearch.
     for ((sf, dir) <- Seq("sf0.1" -> s"$base/sf0.1", dstName -> dst)) {
       graft.functions.VecDot.register(spark)
       val emb = graft.queries.Tables.embeddings(spark, dir)
       val n = emb.count()
       val (k, nprobe) = graft.queries.VectorOps.ivfDefaults(n)
-      val (frac, sec) = timed {
+      val ((frac, recall), sec) = timed {
         val cents = graft.queries.VectorOps.ivfCentroids(emb, k, 1).localCheckpoint()
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         val probed = graft.queries.VectorOps.ivfProbe(cents, q, nprobe)
-        graft.queries.VectorOps.ivfAssign(emb, cents)
-          .join(broadcast(probed), "cid").count().toDouble / n
+        val lists = graft.queries.VectorOps.ivfAssign(emb, cents)
+          .join(broadcast(probed), "cid")
+        val fr = lists.count().toDouble / n
+        val cos = expr("vec_dot(embedding, qe)") /
+          (sqrt(expr("vec_dot(embedding, embedding)")) * sqrt(expr("vec_dot(qe, qe)")))
+        val top5 = lists.crossJoin(broadcast(q))
+          .select(col("vec_id"), round(cos, 5).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(5).select("vec_id")
+        val exact5 = graft.queries.VectorOps.exactTopK(spark, dir, 5).select("vec_id")
+        (fr, top5.join(exact5, "vec_id").count() / 5.0)
       }
       println(f"""SCALECHECK {"step":"ivf_auto","sf":"$sf","n":$n,"k":$k,"nprobe":$nprobe,""" +
-        f""""ideal_fraction":${nprobe.toDouble / k}%.4f,"probed_fraction":$frac%.4f,"sec":$sec%.1f}""")
+        f""""ideal_fraction":${nprobe.toDouble / k}%.4f,"probed_fraction":$frac%.4f,""" +
+        f""""recall_at_5":$recall,"sec":$sec%.1f}""")
     }
 
     if (stepOn("loadmany"))
