@@ -141,9 +141,17 @@ object ScaleCheck {
       val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
     }
 
-    // SPARK_GRAFT_STEPS=csv limits the run to named steps (candidates, ivf,
-    // recall, newops, round7, auto, loadmany) — partial re-measurement tool
-    val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").toSet)
+    // SPARK_GRAFT_STEPS=csv limits the run to named steps — partial
+    // re-measurement tool. Unknown names fail loudly: a typo would otherwise
+    // run ZERO steps and exit 0, an empty measurement indistinguishable from a
+    // filtered one (the file's own no-silent-caps principle).
+    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany")
+    val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").map(_.trim).toSet)
+    onlySteps.foreach { s =>
+      val unknown = s.diff(knownSteps)
+      require(unknown.isEmpty,
+        s"unknown SPARK_GRAFT_STEPS ${unknown.mkString(",")}; known: ${knownSteps.toSeq.sorted.mkString(",")}")
+    }
     def stepOn(name: String): Boolean = onlySteps.forall(_.contains(name))
 
     if (stepOn("candidates"))

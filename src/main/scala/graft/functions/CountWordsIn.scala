@@ -65,10 +65,15 @@ object CountWordsInKernel {
   */
 case class CountWordsIn(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"count_words_in expects (string, string), got (${left.dataType.sql}, ${right.dataType.sql})")
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"count_words_in expects (string, string), got (${left.dataType.sql}, ${right.dataType.sql})")
+    else if (!right.foldable)
+      // the word list must be a literal: the kernel memoizes its parse in a
+      // static map, so a per-row words column would grow it without bound
+      TypeCheckResult.TypeCheckFailure(
+        "count_words_in expects a literal word list as the second argument")
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = LongType
   override def prettyName: String = "count_words_in"
 

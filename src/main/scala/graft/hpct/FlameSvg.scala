@@ -59,21 +59,27 @@ object FlameSvg {
       sb ++= s"""<text x="${size / 2}" y="16" text-anchor="middle" font-size="14">${esc(title)}</text>""" + "\n"
     if (bars.nonEmpty) {
       val lo = bars.map(_.depth).min
-      // reference: bottom = (depth − min_depth + 1)·thickness ⇒ radial extent
-      // spans [0, maxRing + 2] thicknesses (one empty hub band below ring 0)
-      val unit = size / (2.0 * (bars.map(_.depth).max - lo + 2))
+      val maxK = bars.map(_.depth).max - lo
+      // polar: bottom = (depth − min_depth + 1)·thickness ⇒ RADIAL extent spans
+      // [0, maxRing + 2] thicknesses (one empty hub band below ring 0), and the
+      // canvas holds a diameter, hence the /2
+      val unit = size / (2.0 * (maxK + 2))
+      // cartesian: no hub band and no diameter halving — rows tile the FULL
+      // canvas height, stacked from the bottom edge
+      val rectUnit = size / (maxK + 1.0)
       val twoPi = 2 * math.Pi
       for (b <- bars) {
         val k = b.depth - lo
         val (r0, r1) = ((k + 1) * unit, (k + 2) * unit)
-        val fs = math.max(8.0, unit * 0.35)
         if (shape == "rect") {
+          val fs = math.max(8.0, rectUnit * 0.35)
           val (x, w) = (b.x0 / twoPi * size, b.width / twoPi * size)
-          val y = size - r1 // depth grows upward
-          sb ++= f"""<rect x="$x%.2f" y="$y%.2f" width="$w%.2f" height="$unit%.2f" fill="${fill(b.id)}" stroke="white" stroke-width="1"><title>${esc(b.procedure)} (id ${b.id})</title></rect>""" + "\n"
+          val y = size - (k + 1) * rectUnit // depth grows upward
+          sb ++= f"""<rect x="$x%.2f" y="$y%.2f" width="$w%.2f" height="$rectUnit%.2f" fill="${fill(b.id)}" stroke="white" stroke-width="1"><title>${esc(b.procedure)} (id ${b.id})</title></rect>""" + "\n"
           if (b.labeled)
-            sb ++= f"""<text x="${x + w / 2}%.2f" y="${y + unit * 0.6}%.2f" text-anchor="middle" font-size="$fs%.1f">${esc(b.procedure)}</text>""" + "\n"
+            sb ++= f"""<text x="${x + w / 2}%.2f" y="${y + rectUnit * 0.6}%.2f" text-anchor="middle" font-size="$fs%.1f">${esc(b.procedure)}</text>""" + "\n"
         } else {
+          val fs = math.max(8.0, unit * 0.35)
           val c = size / 2.0
           // SVG arcs cannot span a full turn — clamp just under (root layers
           // with one child have width exactly 2π)

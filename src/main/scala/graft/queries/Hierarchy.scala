@@ -161,7 +161,13 @@ object Hierarchy {
     // of its sibling group (max value, min id on ties). Zero driver iteration —
     // no per-depth collect jobs — so the same plan handles depth 25 as depth 3.
     "a14_hot_path" -> ((s, d) => {
-      val n = nodesCached(s, d) // shared cache — NOT unpersisted here
+      // the query's contract descends the 3-level hierarchy (region → nation →
+      // customer), matching the oracle's three greedy CTE levels — the depth cap
+      // the old driver loop carried implicitly. A no-op on this frame (max depth
+      // IS 3) but pinned explicitly so a deeper nodes frame can't silently
+      // diverge from the 3-level oracle; the uncapped formulation is
+      // hpct.Ops.hotPathOneShot.
+      val n = nodesCached(s, d).filter(size(col("path")) <= 3) // shared cache — NOT unpersisted here
       // rank-1 nodes per sibling group (depth-1 nodes all share the empty parent)
       val winners = n
         .withColumn("__parent",

@@ -159,7 +159,7 @@ object TextOps {
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
   def clearCaches(): Unit = {
     for (m <- Seq(shinglesCache, bandsCache, simhashCache, distinctShinglesCache,
-        decontamShinglesCache)) {
+        decontamShinglesCache, simhash128Cache)) {
       m.values.foreach(_.unpersist())
       m.clear()
     }
@@ -235,12 +235,21 @@ object TextOps {
     * (SimHash128Spec: bands 0–3 of the kernel equal the oracle-checked simhash64
     * by construction); ScaleCheck measures the candidate reduction at sf1.
     */
-  private def simhash128Sigs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.SimHash128.register(s)
-    documents(s, d)
-      .select(col("doc_id"), expr("simhash128(lower(text))").as("x"))
-      .select(col("doc_id") +: (0 to 7).map(b => col(s"x.s$b").as(s"s$b")): _*)
-  }
+  private val simhash128Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** 128-bit signatures, cached per (session, dir) like the 64-bit frame: the
+    * verify path references the frame three times (banded a/b + the sig
+    * join-back), which would otherwise re-run the md5-per-token scan each time.
+    */
+  private def simhash128Sigs(s: SparkSession, d: String): DataFrame =
+    simhash128Cache.getOrElseUpdate((s, d), {
+      graft.functions.SimHash128.register(s)
+      documents(s, d)
+        .select(col("doc_id"), expr("simhash128(lower(text))").as("x"))
+        .select(col("doc_id") +: (0 to 7).map(b => col(s"x.s$b").as(s"s$b")): _*)
+        .cache()
+    })
 
   def simhash128CandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sh = simhash128Sigs(s, d)

@@ -201,9 +201,21 @@ object EventStreams {
     * the id is still in state is suppressed; one arriving later than `lateness` is
     * admitted as new — the standard at-least-once-source to effectively-once
     * contract, sized by the source's redelivery horizon.
+    *
+    * The batch path keeps the MIN-ts row per id (a rank window, d02's shape) —
+    * NOT dropDuplicates, whose pick is whichever task scans first and therefore
+    * nondeterministic on a corpus that actually contains duplicate ids (the one
+    * input a dedup operator exists for). Min-ts mirrors what the streaming path
+    * converges to when the source replays in order, and is what e07's oracle
+    * checks.
     */
   def dedupEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     if (events.isStreaming)
       events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
-    else events.dropDuplicates("event_id")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy("ts")
+      events.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
 }

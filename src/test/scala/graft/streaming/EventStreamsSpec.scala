@@ -233,6 +233,18 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("batch dedup keeps the MIN-ts row per id — deterministic on duplicate ids") {
+    // duplicate ids are the input a dedup operator exists for; dropDuplicates'
+    // whichever-task-scans-first pick would be nondeterministic here
+    val df = spark.sparkContext.parallelize(Seq(
+        (42L, ts(10), 2.0), (42L, ts(0), 1.0), (7L, ts(5), 3.0)))
+      .toDF("event_id", "ts", "value")
+    val out = EventStreams.dedupEvents(df)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out === Array((7L, ts(5), 3.0), (42L, ts(0), 1.0)))
+  }
+
   test("an event later than the watermark horizon is DROPPED, not merged") {
     // the state-bounding side of the watermark contract: EventStreamsSpec's
     // bridging test pins that admitted-late events merge; this pins the
