@@ -164,13 +164,13 @@ object ScaleCheck {
       // the predicted billions of collisions ARE the result (the regime the
       // 128-bit knob replaces) and counting them measures the data, not the
       // engine. Skip with the prediction printed (no silent caps).
-      val (d07, tD07) =
-        if (docs <= 2000000) timed(graft.queries.TextOps.simhashCandidatePairs(spark, dir).count())
+      val d07Opt =
+        if (docs <= 2000000) Some(timed(graft.queries.TextOps.simhashCandidatePairs(spark, dir).count()))
         else {
           val predicted = docs.toDouble * docs / 65536 * 4
           println(f"""SCALECHECK {"step":"candidates_skip","sf":"$sf","what":"d07_64bit",""" +
             f""""reason":"quadratic regime: 4x2^16 buckets vs $docs docs","predicted_pairs":$predicted%.3g}""")
-          (-1L, -1.0)
+          None
         }
       // the 128-bit signature: the documented d07 scale knob, measured alongside
       val (d07w, tD07w) = timed(graft.queries.TextOps.simhash128CandidatePairs(spark, dir).count())
@@ -181,9 +181,16 @@ object ScaleCheck {
       // at every SF — three points pin the rule, not one
       val (d08w, tD08w) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 16).count())
       val (d08w2, tD08w2) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 20).count())
+      // skipped 64-bit d07 → emit nulls, not -1 sentinels a metric parser could
+      // aggregate; the candidates_skip line above carries the prediction
+      val d07Json = d07Opt match {
+        case Some((d07, tD07)) =>
+          f""""d07_pairs":$d07,"d07_per_doc":${d07.toDouble / docs}%.4f,"d07_sec":$tD07%.1f,"""
+        case None => """"d07_pairs":null,"d07_per_doc":null,"d07_sec":null,"""
+      }
       println(f"""SCALECHECK {"step":"candidates","sf":"$sf","docs":$docs,"vecs":$vecs,""" +
         f""""d04_pairs":$d04,"d04_per_doc":${d04.toDouble / docs}%.4f,"d04_sec":$tD04%.1f,""" +
-        f""""d07_pairs":$d07,"d07_per_doc":${d07.toDouble / docs}%.4f,"d07_sec":$tD07%.1f,""" +
+        d07Json +
         f""""d07w128_pairs":$d07w,"d07w128_per_doc":${d07w.toDouble / docs}%.4f,"d07w128_sec":$tD07w%.1f,""" +
         f""""d08_pairs":$d08,"d08_per_vec":${d08.toDouble / vecs}%.4f,"d08_sec":$tD08%.1f,""" +
         f""""d08w16_pairs":$d08w,"d08w16_per_vec":${d08w.toDouble / vecs}%.4f,"d08w16_sec":$tD08w%.1f,""" +

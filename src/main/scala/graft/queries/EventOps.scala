@@ -176,13 +176,24 @@ object EventOps {
         "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "e07_dedup_events" ->
       ("SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value " +
-        "FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn FROM events) " +
+        // ts first, then every remaining column name-sorted — the exact total
+        // order dedupEvents' batch window uses, so the pick can never be
+        // engine-arbitrary even on equal-ts duplicate ids
+        "FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, event_type, props, user_id, value) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY event_id"),
     "e08_asof_join" ->
+      // Not a literal ASOF JOIN: DuckDB's ASOF pick among equal-(user_id, ts)
+      // views is engine-arbitrary, so the oracle encodes the engine's contract
+      // explicitly — latest ts, then HIGHEST event_id (the same rule
+      // asofViewBeforeClick's window implements). LEFT JOIN keeps view-less
+      // clicks; each partition is either all-matched or one all-null row, so
+      // null ordering never decides a pick.
       ("SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, " +
         "strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, r.value AS view_value " +
         "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
-        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
-        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"),
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON l.user_id = r.user_id AND r.ts <= l.ts " +
+        "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1 " +
+        "ORDER BY l.event_id"),
   )
 }

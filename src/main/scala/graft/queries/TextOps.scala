@@ -306,8 +306,13 @@ object TextOps {
     * size∘filter∘split composition, whose ArrayFilter lambda is interpreted).
     * Callers register the function via [[registerKernels]].
     */
-  private def countIn(words: Seq[String]): Column =
+  private def countIn(words: Seq[String]): Column = {
+    // The word list is interpolated into a single-quoted SQL literal; a quote
+    // or comma would break parsing or silently change the match set.
+    require(words.nonEmpty && words.forall(_.matches("[a-z0-9]+")),
+      s"countIn words must match [a-z0-9]+, got: ${words.mkString("[", ", ", "]")}")
     expr(s"count_words_in(text, '${words.mkString(",")}')")
+  }
 
   private def registerKernels(s: SparkSession): Unit =
     graft.functions.CountWordsIn.register(s)
@@ -720,7 +725,11 @@ object TextOps {
         "bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram FROM " +
         "(SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)), " +
         "bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram), " +
-        "rk AS (SELECT doc_id, bigram, c, sum(c) OVER (PARTITION BY doc_id) AS n_bigrams, " +
+        // DuckDB window sum(BIGINT) returns HUGEINT (int128); the driver's hasher
+        // renders it differently from Spark's BIGINT even when values are equal —
+        // always cast integer window sums back to BIGINT (same rule as the grouped
+        // bit sums above).
+        "rk AS (SELECT doc_id, bigram, c, CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rk FROM bc) " +
         "SELECT doc_id, n_bigrams, bigram AS top_bigram, c AS top_n, " +
         "round(CAST(c AS DOUBLE) / n_bigrams, 6) + 0 AS rep_ratio " +

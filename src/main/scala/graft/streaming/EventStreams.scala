@@ -213,8 +213,13 @@ object EventStreams {
     if (events.isStreaming)
       events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
     else {
+      // Total order inside the window: duplicate ids can share an equal ts with
+      // differing payloads, and a ts-only pick would be engine-arbitrary. Break
+      // ties on every remaining column (name-sorted), which the e07 oracle's
+      // row_number mirrors for the events schema.
+      val tiebreak = events.columns.filter(c => c != "event_id" && c != "ts").sorted
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_id").orderBy("ts")
+        .partitionBy("event_id").orderBy(("ts" +: tiebreak.toSeq).map(col): _*)
       events.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }

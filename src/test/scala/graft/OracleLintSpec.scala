@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lints every DuckDB oracle in [[SparkEntry.oracleSql]] for the determinism
+  * footguns that have cost correctness rows in past rounds (r4's b18 array
+  * ordering, r7's t10 HUGEINT). These are cross-engine hash-compare rules, not
+  * style: the driver hashes Spark and DuckDB results cell-by-cell, so any
+  * construct whose value or rendered type is engine-arbitrary fails the round
+  * even when the answer is "right".
+  *
+  * Rules (each with the incident that minted it):
+  *  1. Integer window sums must be CAST ... AS BIGINT — DuckDB's window
+  *     sum(BIGINT) returns HUGEINT, which the driver's hasher renders
+  *     differently from Spark's BIGINT even on equal values (t10, round 7).
+  *  2. round() must never feed a comparison — a .xx5 boundary is an IEEE coin
+  *     flip between engines; thresholds compare unrounded values (d09 rule).
+  *  3. list()/array_agg() aggregates must be wrapped in list_sort()/array_sort()
+  *     — aggregation order is engine- and partition-arbitrary (b18, round 4).
+  *  4. last()/last_value()/first()/first_value() windows are banned outright in
+  *     oracles — their pick needs a pinned total order; express the pick as
+  *     row_number() = 1 over an explicit full ORDER BY instead (e08 rule).
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  private val oracles: Map[String, String] = SparkEntry.oracleSql
+
+  /** Window-sum arguments that are DOUBLE in the corpus schema — DuckDB keeps
+    * double window sums as DOUBLE, so no HUGEINT hazard. */
+  private val doubleArgs = Set("value", "n.value", "o_totalprice")
+  // `ns` is INTEGER, but e01/e04/e06 use `sum(ns) OVER ... AS sid` purely as a
+  // grouping key that never reaches an output column, so its HUGEINT type is
+  // invisible to the hasher. Pin that exemption by alias, not by blanket allow:
+  private val groupKeyAliases = Set("sid")
+
+  /** All `sum(<arg>) OVER` occurrences with (start index, arg, castWrapped, alias). */
+  private def windowSums(sql: String): Seq[(Int, String, Boolean, String)] = {
+    val re = """sum\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+OVER""".r
+    re.findAllMatchIn(sql).map { m =>
+      val before = sql.substring(math.max(0, m.start - 6), m.start).toUpperCase
+      val castWrapped = before.endsWith("CAST(") ||
+        // CAST(sum(...) OVER (...) AS BIGINT): CAST( may sit further left of
+        // nested parens; accept if the text after the window spec is `AS BIGINT)`
+        sql.substring(m.end).matches("""(?s)\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+BIGINT\s*\).*""")
+      val alias = """(?i)^\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+(\w+)""".r
+        .findFirstMatchIn(sql.substring(m.end)).map(_.group(1)).getOrElse("")
+      (m.start, m.group(1).trim, castWrapped, alias)
+    }.toSeq
+  }
+
+  test("R1: every integer window sum is CAST ... AS BIGINT (DuckDB HUGEINT rule)") {
+    val bad = for {
+      (name, sql) <- oracles.toSeq
+      (pos, arg, cast, alias) <- windowSums(sql)
+      if !cast && !doubleArgs.contains(arg) && !groupKeyAliases.contains(alias)
+    } yield s"$name@$pos: sum($arg) OVER ... AS $alias"
+    assert(bad.isEmpty,
+      s"uncast integer window sums (DuckDB returns HUGEINT, Spark BIGINT — hash mismatch):\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("R2: round() never feeds a comparison — thresholds compare unrounded") {
+    val cmp = """round\([^()]*(?:\([^()]*\)[^()]*)*\)\s*(>=|<=|<>|!=|<|>)|(>=|<=|<>|!=|<|>)\s*round\(""".r
+    val bad = oracles.toSeq.collect {
+      case (name, sql) if cmp.findFirstIn(sql).isDefined => name
+    }
+    assert(bad.isEmpty, s"round() adjacent to a comparison operator in: ${bad.mkString(", ")}")
+  }
+
+  test("R3: list()/array_agg() aggregates are always sort-wrapped") {
+    val agg = """(?i)(?<!_)(list|array_agg|collect_list)\(""".r
+    // the argument span of the call starting at `open` (index of its '(')
+    def argSpan(sql: String, open: Int): String = {
+      var depth = 0; var i = open
+      while (i < sql.length && (depth > 0 || i == open)) {
+        if (sql(i) == '(') depth += 1 else if (sql(i) == ')') depth -= 1
+        i += 1
+      }
+      sql.substring(open + 1, math.max(open + 1, i - 1))
+    }
+    val bad = for {
+      (name, sql) <- oracles.toSeq
+      m <- agg.findAllMatchIn(sql)
+      // accept a sort wrapper outside, or an in-aggregate ORDER BY (DuckDB's
+      // `list(x ORDER BY k)` is deterministic)
+      prefix = sql.substring(math.max(0, m.start - 12), m.start).toLowerCase
+      if !prefix.endsWith("list_sort(") && !prefix.endsWith("array_sort(") &&
+        !argSpan(sql, m.end - 1).toUpperCase.contains(" ORDER BY ")
+    } yield s"$name@${m.start}: ${m.group(1)}("
+    assert(bad.isEmpty,
+      s"unsorted list aggregates (aggregation order is engine-arbitrary):\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("R4: no last()/first() window picks in oracles — use row_number over a full ORDER BY") {
+    val pick = """(?i)\b(last|first|last_value|first_value|arg_max|arg_min|any_value)\s*\(""".r
+    val bad = for {
+      (name, sql) <- oracles.toSeq
+      m <- pick.findAllMatchIn(sql)
+    } yield s"$name@${m.start}: ${m.group(1)}("
+    assert(bad.isEmpty,
+      s"order-sensitive picks in oracles (engine-arbitrary without a pinned total order):\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("the lint walks the full oracle surface") {
+    // guards against the spec silently linting an empty map after a refactor
+    assert(oracles.size >= 68, s"expected >= 68 oracles, found ${oracles.size}")
+  }
+}
