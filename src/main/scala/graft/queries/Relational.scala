@@ -98,32 +98,40 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")),
 
     // B10: slicing / every-kth-row sampling (reference compact[::200]), scale-safe:
-    // range-partition on the sort key, per-partition row_number (keyed window — no
-    // all-rows-in-one-partition exchange), then add cross-partition offsets computed
-    // by a window over the per-partition COUNTS (one row per partition, so that
-    // single-partition window is bounded by the partition count, not the data).
-    // The resulting rn is the exact global row number: range partitioning + in-
-    // partition ordering together realize the total order.
+    // bucket the sort key DETERMINISTICALLY (128 equal-width slots over the key
+    // domain — monotone in l_orderkey, so bucket-major + in-bucket (okey, ln)
+    // order IS the global order; 4 waves on 32 cores absorbs bucket-size
+    // imbalance), per-bucket row_number (keyed window — no
+    // all-rows-in-one-partition exchange), then add cross-bucket offsets from the
+    // 128-row per-bucket counts. Earlier rounds used repartitionByRange +
+    // spark_partition_id, which cost three full range exchanges of the data (the
+    // sampled exchange can't be plan-reused across the counts and window
+    // branches) and silently relied on two independently-sampled partitionings
+    // choosing identical boundaries. Equal-width bucketing assumes a roughly
+    // uniform key domain (true for l_orderkey); a skewed domain would want the
+    // range-exchange variant with a persisted keyed frame instead.
     "b10_slice" -> ((s, d) => {
-      val keyed = lineitem(s, d)
-        .select("l_orderkey", "l_linenumber")
-        .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
-        .withColumn("__pid", spark_partition_id())
-      // running offsets over the per-partition counts via a bounded triangular join
-      // (P² rows, P = partition count — metadata-scale, not data-scale) instead of a
-      // window: any constant partition key over the non-nullable __pid gets folded
-      // away by Spark 4's optimizer, leaving an unpartitioned WindowExec whose WARN
-      // would drown real regressions in the logs
+      val base = lineitem(s, d).select("l_orderkey", "l_linenumber")
+      def keyed = base
+        .crossJoin(broadcast(base.agg(max("l_orderkey").as("__mx"))))
+        .withColumn("__pid",
+          ((col("l_orderkey") - 1) * 128 / col("__mx")).cast("int"))
+        .drop("__mx")
+      // running offsets in ONE pass over the 128-row counts: explode each bucket's
+      // count to every higher bucket and sum — no counts self-join, so the base
+      // table is scanned once here (and once more for the window branch), both
+      // column-pruned, with map-side partial aggregation doing the heavy lifting
       val counts = keyed.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       val offsets = counts
-        .join(counts.select(col("__pid").as("__pid_b"), col("__cnt").as("__cnt_b")),
-          col("__pid_b") < col("__pid"), "left")
-        .groupBy("__pid").agg(coalesce(sum("__cnt_b"), lit(0L)).as("__off"))
+        .filter(col("__pid") < 127)
+        .select(explode(sequence(col("__pid") + 1, lit(127))).as("__pid_t"),
+          col("__cnt"))
+        .groupBy("__pid_t").agg(sum("__cnt").as("__off"))
       keyed
         .withColumn("__prn", row_number().over(
           Window.partitionBy("__pid").orderBy("l_orderkey", "l_linenumber")))
-        .join(broadcast(offsets), "__pid")
-        .withColumn("rn", (col("__off") + col("__prn")).cast("long"))
+        .join(broadcast(offsets), col("__pid") === col("__pid_t"), "left")
+        .withColumn("rn", (coalesce(col("__off"), lit(0L)) + col("__prn")).cast("long"))
         .filter(col("rn") % 200 === 1)
         .select("l_orderkey", "l_linenumber", "rn")
         .orderBy("rn")

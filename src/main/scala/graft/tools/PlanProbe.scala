@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch harness: print the formatted plan and wall time of one
+  * `SparkEntry.queries` entry on a given data dir. Not part of the driver
+  * contract — a local plan-audit tool.
+  *
+  * Usage: runMain graft.tools.PlanProbe <name> <dir> [reps]
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val spark = SparkSession.builder()
+      .appName("graft-plan-probe")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .config("spark.log.level", "WARN")
+      .getOrCreate()
+    try {
+      val q = graft.SparkEntry.queries(name)
+      println(s"=== $name @ $dir ===")
+      q(spark, dir).explain("formatted")
+      for (i <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = q(spark, dir).count()
+        println(f"PROBE rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+    } finally spark.stop()
+  }
+}

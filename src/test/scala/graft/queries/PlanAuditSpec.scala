@@ -96,11 +96,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("b10: no window moves the whole dataset to one partition") {
-    // the only unpartitioned window allowed is over the per-partition counts
-    // (bounded by the partition count); the data window is keyed by __pid
+    // the data window is keyed by the deterministic __pid bucket; cross-bucket
+    // offsets come from an exploded 128-row counts aggregate, not a window
     val p = plan("b10_slice")
     assert(p.contains("Window"), p)
     assert(p.contains("__pid"), p)
+    // the offsets side must broadcast, never shuffle the data to meet it
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("e08: as-of join is one user-keyed exchange — no range join, no cartesian") {
