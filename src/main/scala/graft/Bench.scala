@@ -71,9 +71,28 @@ object Bench {
     // single-run numbers on a noisy box drift 2-3x; medians make per-query timings
     // comparable across runs (the driver's harness does its own repetition).
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).filter(_ >= 1).getOrElse(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    // Queries run in a RANDOMIZED order (seed printed as "order_seed",
+    // overridable via SPARK_GRAFT_SEED for exact replays) so a box-contention
+    // spike can't masquerade as a regression in whichever queries happen to sit
+    // at its alphabetical position — the round-7 driver run had e03 at 4.7× for
+    // exactly that reason. A fixed ~50 ms mini-calibration runs every 8th query
+    // and is reported per-position ("calibration_mid"), so any outlier row can
+    // be read against the box's momentary speed right before it ran.
+    val seed = sys.env.get("SPARK_GRAFT_SEED").map(_.toLong).getOrElse(System.nanoTime())
+    def miniCalibration(): Double = {
+      val t0 = System.nanoTime()
+      import org.apache.spark.sql.functions._
+      val t = spark.range(1 << 14)
+        .select(col("id") % 31 as "k", col("id").cast("double") as "v")
+      t.groupBy("k").agg(sum("v")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var mids = List.empty[(String, Double)]
+    val ordered = new scala.util.Random(seed).shuffle(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) })
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % 8 == 0) mids ::= (name, miniCalibration())
       var err: Option[String] = None
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -91,7 +110,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       (name, times(times.length / 2), err)
-    }
+    }.sortBy(_._1)
     val qs = results.map {
       case (k, v, None) => s"\"${esc(k)}\":$v"
       case (k, _, Some(e)) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
@@ -101,7 +120,10 @@ object Bench {
     // can't see mid-run contention drift (the round-5 driver run started ~10x
     // contended and got ~27x worse by cache_build); start+end brackets the run
     val calibrationEnd: Double = calibrationWorkload()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"calibration":$calibration,"calibration_end":$calibrationEnd,"sf":"$sfDir","failed":${failed.length}}""")
+    // mini-calibration samples in RUN order, keyed by the query each preceded
+    val midJson = mids.reverse
+      .map { case (n, t) => s"\"${esc(n)}\":$t" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"calibration":$calibration,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}""")
     Caches.clearAll()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
