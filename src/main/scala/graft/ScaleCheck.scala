@@ -92,13 +92,33 @@ object ScaleCheck {
       "events")
 
     val docs = rd("documents"); val stD = stride(docs, "doc_id")
+    // Replica transform: a per-replica letter-substitution cipher FIXING the
+    // letters {t,h,e,a}. Because the cipher is a bijection on letters, word
+    // identity is injective within a replica (shingle/MinHash/SimHash collision
+    // structure preserved exactly) and every word length is unchanged — so
+    // token counts, mean word length, n_chars, AND the stopword tokens
+    // "the"/"a" (fixed-point letters only) are all preserved, which keeps the
+    // t08/d10 quality gate's pass set scaling with the corpus. (The earlier
+    // `~r` word-tag scheme inflated mean word length past the gate's bound, so
+    // sf10's d10 measured the gate, not survivor growth.) Across replicas the
+    // permutations differ, so shared word-3-grams — and with them cross-replica
+    // near-dup structure — vanish, exactly as before.
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    def cipherTo(r: Int): String = {
+      val fixedPts = "thea".toSet
+      val movable = alphabet.filterNot(fixedPts)
+      val shuffled = new scala.util.Random(0x5EED0000L + r).shuffle(movable.toList)
+      val m = movable.zip(shuffled).toMap
+      alphabet.map(c => if (fixedPts(c)) c else m(c))
+    }
+    val ciphers = (1 until reps).map(cipherTo)
+    require(ciphers.distinct.size == ciphers.size && !ciphers.contains(alphabet),
+      "replica ciphers must be pairwise distinct and non-identity")
     wr((0 until reps).map { r =>
       if (r == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(stD * r))
-        .withColumn("text",
-          expr(s"array_join(transform(split(text, ' '), w -> concat(w, '~$r')), ' ')"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("text", translate(col("text"), alphabet, cipherTo(r)))
     }.reduce(_ unionByName _), "documents")
 
     val emb = rd("embeddings").as[EmbRow]
@@ -145,7 +165,7 @@ object ScaleCheck {
     // re-measurement tool. Unknown names fail loudly: a typo would otherwise
     // run ZERO steps and exit 0, an empty measurement indistinguishable from a
     // filtered one (the file's own no-silent-caps principle).
-    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany")
+    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted")
     val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").map(_.trim).toSet)
     onlySteps.foreach { s =>
       val unknown = s.diff(knownSteps)
@@ -321,6 +341,69 @@ object ScaleCheck {
       println(f"""SCALECHECK {"step":"ivf_auto","sf":"$sf","n":$n,"k":$k,"nprobe":$nprobe,""" +
         f""""ideal_fraction":${nprobe.toDouble / k}%.4f,"probed_fraction":$frac%.4f,""" +
         f""""recall_at_5":$recall,"sec":$sec%.1f}""")
+    }
+
+    if (stepOn("planted"))
+    // IVF quality on a corpus WITH neighbor structure. The replica corpus is the
+    // adversarial floor: its embeddings have no planted neighbors, so every
+    // recall number saturates at the probed fraction and says nothing about
+    // whether the quantizer finds structure. Plant C = N/40 clusters (Gaussian
+    // centroid + per-vector noise; in-cluster cosine ≈ 0.9, cross-cluster ≈ 0)
+    // and measure recall@5 (self excluded) for 20 queries in one batched
+    // s06-shaped plan: recall ≫ probed fraction is the quantizer earning its
+    // keep; recall ≈ probed fraction would mean IVF degenerated to sampling.
+    {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val dim = 64
+      val perCluster = 40
+      val srcVecs = spark.read.parquet(s"$base/sf0.1/embeddings.parquet").count()
+      val nVec = srcVecs * reps
+      val nClusters = (nVec / perCluster).toInt
+      val planted = spark.range(nVec).map { i =>
+        val c = (i % nClusters).toInt
+        val rc = new scala.util.Random(0xC11057E5L + c)
+        val cent = Array.fill(dim)(rc.nextGaussian().toFloat)
+        val rv = new scala.util.Random(0xF00DL + i)
+        EmbRow(i, Array.tabulate(dim)(j => cent(j) + 0.35f * rv.nextGaussian().toFloat), c % 16)
+      }.toDF()
+      planted.write.mode("overwrite").parquet(s"$dst/embeddings_planted.parquet")
+      val emb = spark.read.parquet(s"$dst/embeddings_planted.parquet")
+      val n = emb.count()
+      val (k, nprobe) = graft.queries.VectorOps.ivfDefaults(n)
+      val nQ = 20
+      import org.apache.spark.sql.expressions.Window
+      def cos(a: String, b: String) =
+        expr(s"vec_dot($a, $b)") /
+          (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
+      val ((frac, recall), sec) = timed {
+        val cents = graft.queries.VectorOps.ivfCentroids(emb, k, 1).localCheckpoint()
+        // vec_id 0..19 sit in 20 DISTINCT planted clusters (cluster = id % C)
+        val probes = emb.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val probeLists = probes.crossJoin(broadcast(cents))
+          .withColumn("ccos", round(cos("qe", "ce"), 9))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))))
+          .filter(col("rk") <= nprobe)
+          .select("qid", "qe", "cid")
+        val assign = graft.queries.VectorOps.ivfAssign(emb, cents)
+        val probedRows = assign
+          .join(broadcast(probeLists.select("qid", "cid")), "cid").count()
+        def top5(cands: DataFrame) = cands
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), round(cos("embedding", "qe"), 9).as("cc"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("cc"), asc("vec_id"))))
+          .filter(col("rk") <= 5).select("qid", "vec_id")
+        val approx5 = top5(assign.join(broadcast(probeLists), "cid"))
+        val exact5 = top5(emb.crossJoin(broadcast(probes)))
+        val hits = approx5.join(exact5, Seq("qid", "vec_id")).count()
+        (probedRows.toDouble / (n.toDouble * nQ), hits / (nQ * 5.0))
+      }
+      println(f"""SCALECHECK {"step":"planted","sf":"$dstName","n":$n,"clusters":$nClusters,""" +
+        f""""k":$k,"nprobe":$nprobe,"probed_fraction":$frac%.4f,"recall_at_5":$recall,"sec":$sec%.1f}""")
+      graft.Caches.clearAll()
     }
 
     if (stepOn("loadmany"))
