@@ -42,17 +42,20 @@ object Components {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym.join(labels.select(col("id").as("v"), col("lbl").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min("vl").as("nl"))
+      // carry the pre-round label through as __old so the convergence check is a
+      // filter on the checkpointed frame, not another join+shuffle per round
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("__old"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
       // pointer jump: label := label's current label (labels are node ids, so the
       // lookup is a self-join); compresses label chains for log-round convergence
-      val m = prop.select(col("id").as("__mid"), col("lbl").as("__mlbl"))
-      val next = prop.join(m, prop("lbl") === m("__mid"))
-        .select(prop("id").as("id"), col("__mlbl").as("lbl"))
+      val mm = prop.select(col("id").as("__mid"), col("lbl").as("__mlbl"))
+      val next = prop.join(mm, prop("lbl") === mm("__mid"))
+        .select(prop("id").as("id"), col("__mlbl").as("lbl"),
+          (col("__mlbl") =!= col("__old")).as("__chg"))
         .localCheckpoint() // cut the per-round plan growth; also the changed-count input
-      changed = next.join(labels.withColumnRenamed("lbl", "__old"), "id")
-        .filter(col("lbl") =!= col("__old")).count()
-      labels = next
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
       rounds += 1
     }
     require(changed == 0, s"components did not converge in $maxRounds rounds")
