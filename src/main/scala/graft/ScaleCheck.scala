@@ -118,7 +118,7 @@ object ScaleCheck {
       if (r == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(stD * r))
-        .withColumn("text", translate(col("text"), alphabet, cipherTo(r)))
+        .withColumn("text", translate(col("text"), alphabet, ciphers(r - 1)))
     }.reduce(_ unionByName _), "documents")
 
     val emb = rd("embeddings").as[EmbRow]
@@ -149,12 +149,27 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     val dstName = new java.io.File(dst).getName
+    // The marker records the synthesis SCHEME and reps, not just existence: a
+    // dst dir built under an older scheme (e.g. round 7's `~r` word tags) or a
+    // different reps count must be rebuilt, or every step silently measures the
+    // wrong corpus — the stale-marker variant of a silent cap.
     val marker = new java.io.File(dst, "_SYNTH_DONE")
-    if (!marker.exists()) {
+    val synthStamp = s"scheme=cipher-v2 reps=$reps"
+    val stampOk = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim == synthStamp
+    if (!stampOk) {
+      if (new java.io.File(dst).exists()) {
+        println(s"""SCALECHECK {"step":"resynthesize","reason":"stale or missing marker stamp; expected \\"$synthStamp\\""}""")
+        def rmRf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(dst))
+      }
       val t0 = System.nanoTime()
       synthesize(spark, s"$base/sf0.1", dst, reps)
       println(f"""SCALECHECK {"step":"synthesize","reps":$reps,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
-      java.nio.file.Files.createFile(marker.toPath)
+      java.nio.file.Files.write(marker.toPath, synthStamp.getBytes("UTF-8"))
     }
 
     def timed[T](f: => T): (T, Double) = {
@@ -353,56 +368,21 @@ object ScaleCheck {
     // s06-shaped plan: recall ≫ probed fraction is the quantizer earning its
     // keep; recall ≈ probed fraction would mean IVF degenerated to sampling.
     {
-      import spark.implicits._
       graft.functions.VecDot.register(spark)
-      val dim = 64
       val perCluster = 40
       val srcVecs = spark.read.parquet(s"$base/sf0.1/embeddings.parquet").count()
       val nVec = srcVecs * reps
       val nClusters = (nVec / perCluster).toInt
-      val planted = spark.range(nVec).map { i =>
-        val c = (i % nClusters).toInt
-        val rc = new scala.util.Random(0xC11057E5L + c)
-        val cent = Array.fill(dim)(rc.nextGaussian().toFloat)
-        val rv = new scala.util.Random(0xF00DL + i)
-        EmbRow(i, Array.tabulate(dim)(j => cent(j) + 0.35f * rv.nextGaussian().toFloat), c % 16)
-      }.toDF()
-      planted.write.mode("overwrite").parquet(s"$dst/embeddings_planted.parquet")
+      // generator + measurement are VectorOps.plantedEmbeddings/ivfRecallVsExact,
+      // shared with AnnRecallSpec so the measured corpus and the CI-pinned corpus
+      // cannot drift; vec_id 0..19 sit in 20 DISTINCT clusters (cluster = id % C)
+      graft.queries.VectorOps.plantedEmbeddings(spark, nVec, 64, nClusters)
+        .write.mode("overwrite").parquet(s"$dst/embeddings_planted.parquet")
       val emb = spark.read.parquet(s"$dst/embeddings_planted.parquet")
-      val n = emb.count()
-      val (k, nprobe) = graft.queries.VectorOps.ivfDefaults(n)
-      val nQ = 20
-      import org.apache.spark.sql.expressions.Window
-      def cos(a: String, b: String) =
-        expr(s"vec_dot($a, $b)") /
-          (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
-      val ((frac, recall), sec) = timed {
-        val cents = graft.queries.VectorOps.ivfCentroids(emb, k, 1).localCheckpoint()
-        // vec_id 0..19 sit in 20 DISTINCT planted clusters (cluster = id % C)
-        val probes = emb.filter(col("vec_id") < nQ)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val probeLists = probes.crossJoin(broadcast(cents))
-          .withColumn("ccos", round(cos("qe", "ce"), 9))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))))
-          .filter(col("rk") <= nprobe)
-          .select("qid", "qe", "cid")
-        val assign = graft.queries.VectorOps.ivfAssign(emb, cents)
-        val probedRows = assign
-          .join(broadcast(probeLists.select("qid", "cid")), "cid").count()
-        def top5(cands: DataFrame) = cands
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), round(cos("embedding", "qe"), 9).as("cc"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("qid").orderBy(desc("cc"), asc("vec_id"))))
-          .filter(col("rk") <= 5).select("qid", "vec_id")
-        val approx5 = top5(assign.join(broadcast(probeLists), "cid"))
-        val exact5 = top5(emb.crossJoin(broadcast(probes)))
-        val hits = approx5.join(exact5, Seq("qid", "vec_id")).count()
-        (probedRows.toDouble / (n.toDouble * nQ), hits / (nQ * 5.0))
-      }
-      println(f"""SCALECHECK {"step":"planted","sf":"$dstName","n":$n,"clusters":$nClusters,""" +
-        f""""k":$k,"nprobe":$nprobe,"probed_fraction":$frac%.4f,"recall_at_5":$recall,"sec":$sec%.1f}""")
+      val (r, sec) = timed(graft.queries.VectorOps.ivfRecallVsExact(emb, nQ = 20))
+      println(f"""SCALECHECK {"step":"planted","sf":"$dstName","n":${r.n},"clusters":$nClusters,""" +
+        f""""k":${r.k},"nprobe":${r.nprobe},"probed_fraction":${r.probedFraction}%.4f,""" +
+        f""""recall_at_5":${r.recallAt5},"sec":$sec%.1f}""")
       graft.Caches.clearAll()
     }
 

@@ -178,8 +178,11 @@ object EventOps {
       ("SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value " +
         // ts first, then every remaining column name-sorted — the exact total
         // order dedupEvents' batch window uses, so the pick can never be
-        // engine-arbitrary even on equal-ts duplicate ids
-        "FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, event_type, props, user_id, value) AS rn FROM events) " +
+        // engine-arbitrary even on equal-ts duplicate ids. NULLS FIRST pins the
+        // null position too: Spark's ascending default is nulls-first while
+        // DuckDB's is nulls-last, so without it a NULL props/value tiebreak
+        // would pick different rows per engine.
+        "FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts NULLS FIRST, event_type NULLS FIRST, props NULLS FIRST, user_id NULLS FIRST, value NULLS FIRST) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY event_id"),
     "e08_asof_join" ->
       // Not a literal ASOF JOIN: DuckDB's ASOF pick among equal-(user_id, ts)

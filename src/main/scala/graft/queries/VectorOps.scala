@@ -184,6 +184,60 @@ object VectorOps {
     (k, math.max(1, k / 16))
   }
 
+  /** Deterministic planted-cluster corpus for ANN-quality measurement: vector i
+    * belongs to cluster `i % nClusters` and is that cluster's Gaussian centroid
+    * plus per-vector noise (σ = 0.35/dim ⇒ in-cluster cosine ≈ 0.9,
+    * cross-cluster ≈ 0 for random 64-d centroids). Shared by ScaleCheck's
+    * `planted` step and AnnRecallSpec so the measured corpus and the CI-pinned
+    * corpus can never drift apart. Seeds are fixed constants: the corpus is a
+    * pure function of (nVec, dim, nClusters).
+    */
+  def plantedEmbeddings(s: SparkSession, nVec: Long, dim: Int, nClusters: Int): DataFrame = {
+    import s.implicits._
+    s.range(nVec).map { i =>
+      val c = (i % nClusters).toInt
+      val rc = new scala.util.Random(0xC11057E5L + c)
+      val cent = Array.fill(dim)(rc.nextGaussian().toFloat)
+      val rv = new scala.util.Random(0xF00DL + i)
+      (i, Array.tabulate(dim)(j => cent(j) + 0.35f * rv.nextGaussian().toFloat), c % 16)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  /** IVF search quality vs brute force under the auto-K rule ([[ivfDefaults]],
+    * 1 Lloyd iteration), measured over the first `nQ` vec_ids (distinct planted
+    * clusters when the corpus is [[plantedEmbeddings]]), self-matches excluded,
+    * one batched s06-shaped plan for all queries.
+    */
+  case class RecallResult(n: Long, k: Int, nprobe: Int,
+      probedFraction: Double, recallAt5: Double)
+
+  def ivfRecallVsExact(emb: DataFrame, nQ: Int): RecallResult = {
+    val n = emb.count()
+    val (k, nprobe) = ivfDefaults(n)
+    val cents = ivfCentroids(emb, k, 1).localCheckpoint()
+    val probes = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probeLists = probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosOf("qe", "ce"), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select("qid", "qe", "cid")
+    val assign = ivfAssign(emb, cents)
+    val probedRows = assign
+      .join(broadcast(probeLists.select("qid", "cid")), "cid").count()
+    def top5(cands: DataFrame) = cands
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(cosOf("embedding", "qe"), 9).as("cc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cc"), asc("vec_id"))))
+      .filter(col("rk") <= 5).select("qid", "vec_id")
+    val hits = top5(assign.join(broadcast(probeLists), "cid"))
+      .join(top5(emb.crossJoin(broadcast(probes))), Seq("qid", "vec_id")).count()
+    RecallResult(n, k, nprobe,
+      probedRows.toDouble / (n.toDouble * nQ), hits / (nQ * 5.0))
+  }
+
   /** The query's `nprobe` nearest centroids (the probe set). */
   def ivfProbe(cents: DataFrame, q: DataFrame, nprobe: Int): DataFrame =
     cents.crossJoin(broadcast(q))

@@ -26,8 +26,11 @@ object PlanProbe {
       q(spark, dir).explain("formatted")
       for (i <- 1 to reps) {
         val t0 = System.nanoTime()
-        val n = q(spark, dir).count()
-        println(f"PROBE rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        // noop sink, same as Bench: count() would let Catalyst prune every
+        // column and time a projection query as a metadata-only scan
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE rep=$i sec=$sec%.2f")
       }
     } finally spark.stop()
   }

@@ -35,16 +35,18 @@ class OracleLintSpec extends AnyFunSuite {
 
   /** All `sum(<arg>) OVER` occurrences with (start index, arg, castWrapped, alias). */
   private def windowSums(sql: String): Seq[(Int, String, Boolean, String)] = {
-    val re = """sum\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+OVER""".r
+    // (?i) throughout: a lint that only catches lowercase SQL is a silent
+    // false-negative — the one failure mode this spec cannot afford
+    val re = """(?i)sum\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+OVER""".r
     re.findAllMatchIn(sql).map { m =>
       val before = sql.substring(math.max(0, m.start - 6), m.start).toUpperCase
       val castWrapped = before.endsWith("CAST(") ||
         // CAST(sum(...) OVER (...) AS BIGINT): CAST( may sit further left of
         // nested parens; accept if the text after the window spec is `AS BIGINT)`
-        sql.substring(m.end).matches("""(?s)\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+BIGINT\s*\).*""")
+        sql.substring(m.end).matches("""(?is)\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+BIGINT\s*\).*""")
       val alias = """(?i)^\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+(\w+)""".r
         .findFirstMatchIn(sql.substring(m.end)).map(_.group(1)).getOrElse("")
-      (m.start, m.group(1).trim, castWrapped, alias)
+      (m.start, m.group(1).trim.toLowerCase, castWrapped, alias.toLowerCase)
     }.toSeq
   }
 
@@ -59,7 +61,7 @@ class OracleLintSpec extends AnyFunSuite {
   }
 
   test("R2: round() never feeds a comparison — thresholds compare unrounded") {
-    val cmp = """round\([^()]*(?:\([^()]*\)[^()]*)*\)\s*(>=|<=|<>|!=|<|>)|(>=|<=|<>|!=|<|>)\s*round\(""".r
+    val cmp = """(?i)round\([^()]*(?:\([^()]*\)[^()]*)*\)\s*(>=|<=|<>|!=|<|>)|(>=|<=|<>|!=|<|>)\s*round\(""".r
     val bad = oracles.toSeq.collect {
       case (name, sql) if cmp.findFirstIn(sql).isDefined => name
     }

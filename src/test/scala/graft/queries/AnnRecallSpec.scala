@@ -43,47 +43,18 @@ class AnnRecallSpec extends AnyFunSuite {
     // cross-cluster ~0) and asserts the auto-K quantizer actually finds it:
     // recall@5 >= 0.9 while scanning < 10% of the corpus. If IVF degenerated to
     // random sampling, recall would match the probed fraction and this fails.
-    // Mirrors ScaleCheck's `planted` step, which measures the same at sf1/sf10.
+    // Same generator + measurement as ScaleCheck's `planted` step
+    // (VectorOps.plantedEmbeddings / ivfRecallVsExact) so this pin and the
+    // sf1/sf10 measurements can never drift apart.
     val s = spark
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     graft.functions.VecDot.register(s)
-    val (nVec, dim, nClusters, nQ) = (2000, 64, 50, 10)
-    val rows = (0 until nVec).map { i =>
-      val c = i % nClusters
-      val rc = new scala.util.Random(0xC11057E5L + c)
-      val cent = Array.fill(dim)(rc.nextGaussian().toFloat)
-      val rv = new scala.util.Random(0xF00DL + i)
-      (i.toLong, Array.tabulate(dim)(j => cent(j) + 0.35f * rv.nextGaussian().toFloat))
-    }
-    val emb = s.sparkContext.parallelize(rows, 8).toDF("vec_id", "embedding")
-    val (k, nprobe) = VectorOps.ivfDefaults(nVec)
-    def cos(a: String, b: String) =
-      expr(s"vec_dot($a, $b)") /
-        (sqrt(expr(s"vec_dot($a, $a)")) * sqrt(expr(s"vec_dot($b, $b)")))
-    val cents = VectorOps.ivfCentroids(emb, k, 1).localCheckpoint()
-    val probes = emb.filter(col("vec_id") < nQ)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val probeLists = probes.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cos("qe", "ce"), 9))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))))
-      .filter(col("rk") <= nprobe).select("qid", "qe", "cid")
-    val assign = VectorOps.ivfAssign(emb, cents)
-    val probed = assign.join(broadcast(probeLists.select("qid", "cid")), "cid").count()
-    val frac = probed.toDouble / (nVec.toDouble * nQ)
-    def top5(cands: org.apache.spark.sql.DataFrame) = cands
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), round(cos("embedding", "qe"), 9).as("cc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("cc"), asc("vec_id"))))
-      .filter(col("rk") <= 5).select("qid", "vec_id")
-    val hits = top5(assign.join(broadcast(probeLists), "cid"))
-      .join(top5(emb.crossJoin(broadcast(probes))), Seq("qid", "vec_id")).count()
-    val recall = hits / (nQ * 5.0)
-    info(f"planted: k=$k nprobe=$nprobe probed=$frac%.3f recall@5=$recall%.2f")
-    assert(frac < 0.10, f"probed fraction $frac%.3f lost its pruning contract")
-    assert(recall >= 0.9, f"recall@5 $recall%.2f on a clustered corpus — quantizer missing structure")
+    val emb = VectorOps.plantedEmbeddings(s, nVec = 2000, dim = 64, nClusters = 50)
+    val r = VectorOps.ivfRecallVsExact(emb, nQ = 10)
+    info(f"planted: k=${r.k} nprobe=${r.nprobe} probed=${r.probedFraction}%.3f recall@5=${r.recallAt5}%.2f")
+    assert(r.probedFraction < 0.10,
+      f"probed fraction ${r.probedFraction}%.3f lost its pruning contract")
+    assert(r.recallAt5 >= 0.9,
+      f"recall@5 ${r.recallAt5}%.2f on a clustered corpus — quantizer missing structure")
   }
 
   test("bucket variant holds its pruning contract while recalling the query") {
