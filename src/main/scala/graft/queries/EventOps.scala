@@ -190,13 +190,19 @@ object EventOps {
       // explicitly — latest ts, then HIGHEST event_id (the same rule
       // asofViewBeforeClick's window implements). LEFT JOIN keeps view-less
       // clicks; each partition is either all-matched or one all-null row, so
-      // null ordering never decides a pick.
+      // null ordering never decides a pick. The QUALIFY partitions on __rid, a
+      // row-unique click key, NOT event_id: asofViewBeforeClick emits one
+      // output row per click ROW, so on a corpus with duplicate click
+      // event_ids an event_id partition would collapse rows the engine keeps.
+      // Rid assignment among duplicate rows is arbitrary, but each rid's
+      // partition is its own click row joined to the same view set, so the
+      // output multiset is invariant under that assignment.
       ("SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, " +
         "strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, r.value AS view_value " +
-        "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+        "FROM (SELECT *, row_number() OVER (ORDER BY event_id) AS __rid FROM events WHERE event_type = 'click') l " +
         "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
         "ON l.user_id = r.user_id AND r.ts <= l.ts " +
-        "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1 " +
+        "QUALIFY row_number() OVER (PARTITION BY l.__rid ORDER BY r.ts DESC, r.event_id DESC) = 1 " +
         "ORDER BY l.event_id"),
   )
 }

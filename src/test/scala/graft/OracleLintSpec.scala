@@ -25,39 +25,75 @@ class OracleLintSpec extends AnyFunSuite {
 
   private val oracles: Map[String, String] = SparkEntry.oracleSql
 
-  /** Window-sum arguments that are DOUBLE in the corpus schema — DuckDB keeps
-    * double window sums as DOUBLE, so no HUGEINT hazard. */
-  private val doubleArgs = Set("value", "n.value", "o_totalprice")
+  /** Sum arguments that are DOUBLE in the corpus schema — DuckDB keeps double
+    * sums (window or grouped) as DOUBLE, so no HUGEINT hazard. */
+  private val doubleArgs =
+    Set("value", "n.value", "o_totalprice", "l_quantity", "l_extendedprice", "c_acctbal",
+      // `ab` is Hierarchy's NodesCte alias for c_acctbal
+      "ab")
   // `ns` is INTEGER, but e01/e04/e06 use `sum(ns) OVER ... AS sid` purely as a
   // grouping key that never reaches an output column, so its HUGEINT type is
   // invisible to the hasher. Pin that exemption by alias, not by blanket allow:
   private val groupKeyAliases = Set("sid")
 
-  /** All `sum(<arg>) OVER` occurrences with (start index, arg, castWrapped, alias). */
-  private def windowSums(sql: String): Seq[(Int, String, Boolean, String)] = {
+  /** All `sum(<arg>)` / `list_sum(<arg>)` occurrences, window or grouped, with
+    * (start index, arg, castWrapped, alias, feedsComparison). DuckDB's sum over
+    * any integer type returns HUGEINT in BOTH forms (and list_sum likewise), so
+    * the grouped form is exactly as hazardous as the window form round 7 paid
+    * for — it was only linted later (round 9) because every grouped oracle
+    * happened to cast already.
+    */
+  private def sums(sql: String): Seq[(Int, String, Boolean, String, Boolean)] = {
     // (?i) throughout: a lint that only catches lowercase SQL is a silent
-    // false-negative — the one failure mode this spec cannot afford
-    val re = """(?i)sum\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s+OVER""".r
+    // false-negative — the one failure mode this spec cannot afford.
+    // \b keeps `list_sum` from double-matching as bare `sum` (underscore is a
+    // word char, so there is no boundary before its inner "sum").
+    val re = """(?i)\b(?:list_)?sum\(([^()]*(?:\([^()]*\)[^()]*)*)\)""".r
     re.findAllMatchIn(sql).map { m =>
+      val after = sql.substring(m.end)
+      val isWindow = after.matches("""(?is)\s+OVER\b.*""")
       val before = sql.substring(math.max(0, m.start - 6), m.start).toUpperCase
       val castWrapped = before.endsWith("CAST(") ||
         // CAST(sum(...) OVER (...) AS BIGINT): CAST( may sit further left of
         // nested parens; accept if the text after the window spec is `AS BIGINT)`
-        sql.substring(m.end).matches("""(?is)\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+BIGINT\s*\).*""")
-      val alias = """(?i)^\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+(\w+)""".r
-        .findFirstMatchIn(sql.substring(m.end)).map(_.group(1)).getOrElse("")
-      (m.start, m.group(1).trim.toLowerCase, castWrapped, alias.toLowerCase)
+        (isWindow && after.matches("""(?is)\s+OVER\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+BIGINT\s*\).*"""))
+      // a sum whose value immediately feeds a comparison (e.g. t09's majority
+      // vote `sum(...) >= 0`) never reaches an output column — HUGEINT compares
+      // correctly, it only RENDERS differently
+      val feedsComparison = !isWindow && after.matches("""(?s)\s*(>=|<=|<>|!=|=|<|>).*""")
+      val alias = (if (isWindow)
+        """(?i)^\s+OVER\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+(\w+)""".r
+      else """(?i)^\s+AS\s+(\w+)""".r)
+        .findFirstMatchIn(after).map(_.group(1)).getOrElse("")
+      (m.start, m.group(1).trim.toLowerCase, castWrapped, alias.toLowerCase, feedsComparison)
     }.toSeq
   }
 
-  test("R1: every integer window sum is CAST ... AS BIGINT (DuckDB HUGEINT rule)") {
-    val bad = for {
-      (name, sql) <- oracles.toSeq
-      (pos, arg, cast, alias) <- windowSums(sql)
-      if !cast && !doubleArgs.contains(arg) && !groupKeyAliases.contains(alias)
-    } yield s"$name@$pos: sum($arg) OVER ... AS $alias"
+  /** An argument that CASTs to double/float anywhere in its expression — e.g.
+    * the vector-ops dot products `sum(cast(x as double) * cast(y as double))`
+    * — produces a DOUBLE sum; no HUGEINT hazard. */
+  private def argIsDouble(arg: String): Boolean =
+    doubleArgs.contains(arg) || """(?i)\bas\s+(double|float|real)\b""".r.findFirstIn(arg).isDefined
+
+  private def r1Violations(name: String, sql: String): Seq[String] =
+    for {
+      (pos, arg, cast, alias, cmp) <- sums(sql)
+      if !cast && !cmp && !argIsDouble(arg) && !groupKeyAliases.contains(alias)
+    } yield s"$name@$pos: sum($arg) AS $alias"
+
+  test("R1: every integer sum — window OR grouped — is CAST ... AS BIGINT (DuckDB HUGEINT rule)") {
+    val bad = oracles.toSeq.flatMap { case (name, sql) => r1Violations(name, sql) }
     assert(bad.isEmpty,
-      s"uncast integer window sums (DuckDB returns HUGEINT, Spark BIGINT — hash mismatch):\n  ${bad.mkString("\n  ")}")
+      s"uncast integer sums (DuckDB returns HUGEINT, Spark BIGINT — hash mismatch):\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("R1 self-test: an uncast grouped integer sum IS flagged (rule can't rot silently)") {
+    val scratch = "SELECT k, sum(l_linenumber) AS s FROM lineitem GROUP BY k"
+    assert(r1Violations("scratch", scratch).nonEmpty, "grouped-sum lint lost its teeth")
+    // and the cast / double / comparison forms stay exempt
+    assert(r1Violations("s2", "SELECT CAST(sum(l_linenumber) AS BIGINT) AS s FROM lineitem").isEmpty)
+    assert(r1Violations("s3", "SELECT sum(value) AS s FROM events").isEmpty)
+    assert(r1Violations("s4", "SELECT CASE WHEN sum(bit) >= 0 THEN 1 ELSE 0 END AS s FROM t").isEmpty)
   }
 
   test("R2: round() never feeds a comparison — thresholds compare unrounded") {

@@ -245,6 +245,23 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out === Array((7L, ts(5), 3.0), (42L, ts(0), 1.0)))
   }
 
+  test("e07 oracle's hard-coded tiebreak list tracks the events schema") {
+    // dedupEvents derives its tiebreak columns dynamically from events.columns;
+    // the e07 oracle hard-codes them. A new events column would silently change
+    // the Spark pick order without the oracle following — make that drift fail
+    // HERE, loudly, instead of as a hash mismatch in a driver round.
+    val schema = graft.queries.Tables.events(spark, "/root/testdata/sf0.001").columns
+    val expected = "ts" +: schema.filter(c => c != "event_id" && c != "ts").sorted.toSeq
+    val sql = graft.SparkEntry.oracleSql("e07_dedup_events")
+    val orderBy = """(?i)OVER\s*\(PARTITION BY event_id ORDER BY ([^)]*)\)""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(fail(s"e07 oracle no longer matches the expected window shape:\n$sql"))
+      .group(1)
+    val oracleCols = orderBy.split(",").map(_.trim.stripSuffix(" NULLS FIRST").trim).toSeq
+    assert(oracleCols === expected,
+      s"oracle tiebreak list drifted from the events schema: oracle=$oracleCols schema=$expected")
+  }
+
   test("an event later than the watermark horizon is DROPPED, not merged") {
     // the state-bounding side of the watermark contract: EventStreamsSpec's
     // bridging test pins that admitted-late events merge; this pins the
