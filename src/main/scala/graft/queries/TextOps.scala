@@ -298,6 +298,30 @@ object TextOps {
       meanWlen >= 3.0 && meanWlen <= 8.0
   }
 
+  /** t10's pre-kernel formulation, kept as [[functions.BigramStats]]'s
+    * equivalence baseline (BigramStatsSpec): bigram explode -> (doc, bigram)
+    * count with map-side combine -> one doc_id exchange where a rank window
+    * picks the top bigram and a sum window totals the counts. Input needs
+    * (doc_id, text); output matches the t10 query row-for-row.
+    */
+  private[graft] def repetitionViaExplode(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(when(size(col("tk")) >= 2, sequence(lit(1), size(col("tk")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .withColumn("n_bigrams", sum("c").over(w))
+      .withColumn("rk", row_number().over(w.orderBy(desc("c"), asc("bigram"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_bigrams"), col("bigram").as("top_bigram"),
+        col("c").as("top_n"),
+        (round(col("c").cast("double") / col("n_bigrams"), 6) + lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   private val stopEn = Seq("the", "of", "and")
   private val stopEs = Seq("la", "el", "de")
 
@@ -476,26 +500,24 @@ object TextOps {
     // length/stopword gate can't see: templated/boilerplate text repeats its own
     // n-grams): per doc, the total bigram count, the most frequent bigram's
     // count (ties break lexicographically for determinism), and their ratio.
-    // Plan: scan-local bigram explode -> (doc, bigram) count with map-side
-    // combine -> ONE doc_id exchange where a rank window picks the top bigram
-    // and a sum window totals the counts — the shuffle carries one row per
-    // DISTINCT (doc, bigram), never corpus token rows, and the rank is a
-    // WindowGroupLimit so each map partition forwards <= 1 row per doc group.
+    // Each document's text lives in ONE row, so the whole bigram distribution is
+    // scan-local: the native `bigram_stats` byte loop (functions/BigramStats,
+    // provably equal to the explode + (doc,bigram) count + doc window
+    // formulation it replaced — BigramStatsSpec, [[repetitionViaExplode]])
+    // computes it with ZERO shuffle, where the explode formulation exchanged one
+    // row per distinct (doc, bigram) — the slowest text row of the sf10 bench.
     "t10_repetition" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id")
+      graft.functions.BigramStats.register(s)
       documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), col("tk"),
-          explode(when(size(col("tk")) >= 2, sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .select(col("doc_id"), concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bigram"))
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-        .withColumn("n_bigrams", sum("c").over(w))
-        .withColumn("rk", row_number().over(w.orderBy(desc("c"), asc("bigram"))))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("n_bigrams"), col("bigram").as("top_bigram"),
-          col("c").as("top_n"),
-          (round(col("c").cast("double") / col("n_bigrams"), 6) + lit(0.0)).as("rep_ratio"))
+        // a doc has >= 2 tokens (hence >= 1 bigram) iff the text contains a
+        // space — this cheap pre-filter replaces `b.n_bigrams > 0`, which would
+        // run the whole kernel a second time inside the Filter node
+        .filter(col("text").contains(" "))
+        .select(col("doc_id"), expr("bigram_stats(text)").as("b"))
+        .select(col("doc_id"), col("b.n_bigrams").as("n_bigrams"),
+          col("b.top_bigram").as("top_bigram"), col("b.top_n").as("top_n"),
+          (round(col("b.top_n").cast("double") / col("b.n_bigrams"), 6) + lit(0.0))
+            .as("rep_ratio"))
         .orderBy("doc_id")
     }),
 
