@@ -38,7 +38,23 @@ object Bench {
       spark.read.parquet(s"$tmp/w").filter(col("k") > 3).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibration: Double = calibrationWorkload()
+    // SETTLING loop (r9): both the r7 and r8 driver runs started ~3× contended
+    // and minted phantom per-query regressions before the box settled. Repeat
+    // the calibration workload until two consecutive samples agree within 30%
+    // (cap ~60 s), so measurement starts on a box that is at least *stable*;
+    // every sample is reported so a run that never settled is visible.
+    val calibrationSamples: List[Double] = {
+      val buf = scala.collection.mutable.ListBuffer(calibrationWorkload())
+      val t0 = System.nanoTime()
+      var settled = false
+      while (!settled && (System.nanoTime() - t0) / 1e9 < 60.0) {
+        val c = calibrationWorkload()
+        settled = math.abs(c - buf.last) / math.min(c, buf.last) <= 0.30
+        buf += c
+      }
+      buf.toList
+    }
+    val calibration: Double = calibrationSamples.last
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -88,11 +104,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     var mids = List.empty[(String, Double)]
+    var curMid = Double.NaN
     val ordered = new scala.util.Random(seed).shuffle(
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) })
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % 8 == 0) mids ::= (name, miniCalibration())
+      if (i % 8 == 0) { curMid = miniCalibration(); mids ::= (name, curMid) }
       var err: Option[String] = None
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -109,13 +126,24 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times(times.length / 2), err)
+      (name, times(times.length / 2), err, curMid)
     }.sortBy(_._1)
+    // Per-row contention SELF-CLASSIFICATION: a row whose nearest preceding
+    // mini-calibration sample exceeded 2× the run's median mini-calibration ran
+    // on a momentarily slow box — consumers must not read it as a regression.
+    // Flagged rows render as objects ({"sec":…,"contended":true}); clean rows
+    // stay plain numbers, so existing tooling parses unchanged.
+    val midMedian = {
+      val v = mids.map(_._2).sorted
+      if (v.isEmpty) Double.NaN else v(v.length / 2)
+    }
     val qs = results.map {
-      case (k, v, None) => s"\"${esc(k)}\":$v"
-      case (k, _, Some(e)) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
+      case (k, v, None, mid) if !midMedian.isNaN && mid > 2 * midMedian =>
+        s"\"${esc(k)}\":{\"sec\":$v,\"contended\":true}"
+      case (k, v, None, _) => s"\"${esc(k)}\":$v"
+      case (k, _, Some(e), _) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum + cacheBuild
+    val total = results.collect { case (_, v, None, _) => v }.sum + cacheBuild
     // the SAME fixed workload re-timed after the last query: one start-of-run sample
     // can't see mid-run contention drift (the round-5 driver run started ~10x
     // contended and got ~27x worse by cache_build); start+end brackets the run
@@ -123,7 +151,12 @@ object Bench {
     // mini-calibration samples in RUN order, keyed by the query each preceded
     val midJson = mids.reverse
       .map { case (n, t) => s"\"${esc(n)}\":$t" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"calibration":$calibration,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}""")
+    val samplesJson = calibrationSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}""")
+    // Truncation-proof SUMMARY, printed last: the r8 driver capture kept only
+    // the tail of the big line, losing the total and 16 rows. A tail capture
+    // that retains only the final line still gets the headline from this one.
+    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.length},"failed":${failed.length},"order_seed":$seed,"sf":"$sfDir"}""")
     Caches.clearAll()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each round is two keyed equi-joins + one keyed min aggregation — no
   * cartesian anywhere, shuffle keys are node ids (near-uniform for hashed doc
-  * ids). Plain propagation alone needs O(component diameter) rounds; the pointer
+  * ids). Isolated-edge components — the dominant cluster shape in real dedup
+  * graphs — retire before the loop with a single degree scan, so the per-round
+  * joins run over the chain/star residue only. Plain propagation alone needs
+  * O(component diameter) rounds; the pointer
   * jump compresses chains so label trees halve each round (O(log diameter) —
   * near-dup clusters are shallow in practice, but a 100 TB corpus can chain, and
   * log-rounds is what makes the driver loop safe there). Each round
@@ -28,19 +31,50 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  // SPARK_GRAFT_COMPONENTS_LOG=1 prints per-stage walls and per-round changed
+  // counts — the attribution tool behind SCALECHECK.md's d09/d10 stage split.
+  private def logLine(msg: => String): Unit =
+    if (sys.env.get("SPARK_GRAFT_COMPONENTS_LOG").contains("1"))
+      println(s"COMPONENTS $msg")
+
   /** (id, cluster) for every node in `edges`, cluster = min node id reachable.
     * `edges` columns: id_a, id_b (one row per undirected edge, either order).
     */
   def minLabelComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val t0 = System.nanoTime()
     val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint() // the edge frame is reused every round; pin it once
-    var labels = sym.select(col("u").as("id")).distinct()
+    // EARLY RETIREMENT of isolated-edge components: in a real near-dup corpus
+    // the overwhelming majority of clusters are PAIRS (one duplicated doc). A
+    // node whose single distinct neighbor's own single distinct neighbor is
+    // itself forms a closed {u, v} component — its label is min(u, v) by
+    // definition, no propagation needed. Retiring those up front costs one
+    // degree aggregation plus a self-join of the degree-1 slice, and shrinks
+    // the iterative loop's input to the chain/star residue — each LOOP round
+    // costs two joins + an aggregation over every remaining node, so removing
+    // the pair mass from ALL rounds dwarfs the one-time degree scan.
+    val deg1 = sym.groupBy("u").agg(countDistinct("v").as("dg"), min("v").as("nb"))
+      .filter(col("dg") === 1).select(col("u"), col("nb"))
+      .localCheckpoint() // read twice (both sides of the self-join) + anti-join
+    val pairLabels = deg1.alias("a")
+      .join(deg1.alias("b"), col("a.nb") === col("b.u") && col("b.nb") === col("a.u"))
+      .select(col("a.u").as("id"), least(col("a.u"), col("a.nb")).as("lbl"))
+      .localCheckpoint()
+    // a retired node's edges all lead to its retired partner, so dropping every
+    // sym row whose u is retired removes exactly the retired components' edges
+    val residual = sym
+      .join(pairLabels.select(col("id").as("u")), Seq("u"), "left_anti")
+      .localCheckpoint()
+    logLine(f"stage=retire_pairs pairs_nodes=${pairLabels.count()} " +
+      f"residual_edges=${residual.count()} sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    var labels = residual.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = sym.join(labels.select(col("id").as("v"), col("lbl").as("vl")), "v")
+      val tr = System.nanoTime()
+      val nbrMin = residual.join(labels.select(col("id").as("v"), col("lbl").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min("vl").as("nl"))
       // carry the pre-round label through as __old so the convergence check is a
       // filter on the checkpointed frame, not another join+shuffle per round
@@ -57,8 +91,10 @@ object Components {
       changed = next.filter(col("__chg")).count()
       labels = next.drop("__chg")
       rounds += 1
+      logLine(f"stage=round n=$rounds changed=$changed sec=${(System.nanoTime() - tr) / 1e9}%.2f")
     }
     require(changed == 0, s"components did not converge in $maxRounds rounds")
-    labels
+    logLine(f"stage=total rounds=$rounds sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    labels.union(pairLabels)
   }
 }

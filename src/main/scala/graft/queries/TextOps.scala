@@ -455,6 +455,9 @@ object TextOps {
     // intermediate table; here the stages fuse into one plan per pass.
     "d10_clean_corpus" -> ((s, d) => {
       registerKernels(s)
+      // NOT localCheckpoint'd, though `ex` feeds three consumers: materializing
+      // the full text column costs more than the three re-scans it would save
+      // (measured at sf10: checkpointing ex made d10 ~30% SLOWER)
       val ex = documents(s, d).filter(qualityKeep)
         .withColumn("__rn", row_number().over(
           Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))

@@ -55,6 +55,9 @@ object EventStreams {
 
   // not private: encoder-generated code instantiates these reflectively
   final case class Ev(user_id: Long, tsMicros: Long, value: Double)
+  /** Batch-path group key / slim event (see [[sessionizeCustom]]'s batch arm). */
+  final case class UserDay(user_id: Long, day: Long)
+  final case class EvSlim(tsMicros: Long, value: Double)
   /** One gap-separated session interval. */
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   /** Streaming state per user: ALL sessions the watermark hasn't finalized yet,
@@ -142,11 +145,39 @@ object EventStreams {
       // the gap re-merge; sessions within one day are >= gap apart by
       // construction, so they never wrongly merge. The merge window runs over
       // session summaries, not events — per-user row counts there are harmless.
+      //
+      // Plumbing, tuned (r9): the key is COLUMNS via groupBy(...).as[K, V], not
+      // a groupByKey lambda — the lambda form prepends an AppendColumns node
+      // that serializes every row into an Ev object just to compute the key.
+      // flatMapSortedGroups pushes the within-group ts order into the
+      // exchange's own SortExec (codegen, off-heap rows), so the fold is a
+      // LINEAR streaming pass per group: no per-group toSeq buffer, no boxed
+      // sortBy, no per-event SessionState allocation — only per-SESSION output.
       val dayMicros = 86400000000L
-      val perDay = ds.groupByKey(e => (e.user_id, Math.floorDiv(e.tsMicros, dayMicros)))
-        .flatMapGroups { (key: (Long, Long), evs: Iterator[Ev]) =>
-          mergeAll(Nil, evs.toSeq).iterator
-            .map(st => (key._1, st.start, st.last, st.n, st.sum))
+      val perDay = events
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("tsMicros"), col("value").cast("double").as("value"))
+        // floorDiv as (ts - pmod(ts, day)) / day: exact for pre-1970 (negative
+        // micros) timestamps too, where long division would truncate toward 0
+        .withColumn("day",
+          ((col("tsMicros") - pmod(col("tsMicros"), lit(dayMicros))) / lit(dayMicros))
+            .cast("long"))
+        .groupBy("user_id", "day").as[UserDay, EvSlim]
+        .flatMapSortedGroups(col("tsMicros")) { (key: UserDay, evs: Iterator[EvSlim]) =>
+          // events arrive ts-ascending: a session is a maximal run with gaps
+          // < gapMicros — same result as mergeAll, without materializing the group
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+          var start = 0L; var last = 0L; var n = 0L; var sum = 0.0; var open = false
+          for (e <- evs) {
+            if (open && e.tsMicros - last < gapMicros) {
+              last = e.tsMicros; n += 1; sum += e.value
+            } else {
+              if (open) out += ((key.user_id, start, last, n, sum))
+              open = true; start = e.tsMicros; last = e.tsMicros; n = 1; sum = e.value
+            }
+          }
+          if (open) out += ((key.user_id, start, last, n, sum))
+          out
         }
         .toDF("user_id", "start", "last", "n", "sum")
       val w = org.apache.spark.sql.expressions.Window

@@ -31,6 +31,21 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.forall(_._2 === 0L))
   }
 
+  test("pair components retire early but merge correctly with loop-resolved ones") {
+    // mixes every retirement case: pure pairs (duplicate-edge pair too), a
+    // degree-1 node whose neighbor is NOT degree-1 (must stay in the loop),
+    // and a triangle. The pair fast path must change labels for none of them.
+    val out = Components.minLabelComponents(edgesDf(
+        100L -> 200L,              // pair -> retired
+        7L -> 3L, 3L -> 7L,        // pair via duplicate opposite-order edges
+        1L -> 2L, 2L -> 4L,        // chain: 1 and 4 are degree-1 but 2 is not
+        50L -> 60L, 60L -> 70L, 70L -> 50L)) // triangle
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      100L -> 100L, 200L -> 100L, 3L -> 3L, 7L -> 3L,
+      1L -> 1L, 2L -> 1L, 4L -> 1L, 50L -> 50L, 60L -> 50L, 70L -> 50L))
+  }
+
   test("d09 clusters equal a driver-side union-find of the verified edges") {
     val s = spark
     val d = "/root/testdata/sf0.01"
