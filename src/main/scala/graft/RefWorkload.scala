@@ -16,7 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and column) before the clock stops.
   */
 object RefWorkload {
+  /** The reference's published single-threaded total (BASELINE.md macro rows:
+    * 4.359 + 10.771 + 5.588 + 20.008) — the denominator of the harness's ratio
+    * AND the bound RefWorkloadGateSpec enforces in CI. One definition, so a
+    * re-measured baseline can never leave the gate enforcing a stale number.
+    */
+  val baselineSec: Double = 40.726
+
   def main(args: Array[String]): Unit = {
+    // f"...%.3f" is default-locale-sensitive; a comma decimal separator
+    // would silently corrupt the machine-parsed JSON lines below
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val files = Seq(
       "/root/reference/test/data/experiment1.xml",
       "/root/reference/test/data/experiment2.xml")
@@ -59,7 +69,7 @@ object RefWorkload {
       pfs.foreach(pf => force(hpct.Ops.flameGeometry(pf)))
     }
     val total = loadSec + hotSec + compactSec + flameSec
-    val baseline = 40.726 // BASELINE.md macro rows: 4.359 + 10.771 + 5.588 + 20.008
+    val baseline = baselineSec
     println(f"""{"metric":"ref_workload","load_sec":$loadSec%.2f,"hot_path_sec":$hotSec%.2f,""" +
       f""""compact_sec":$compactSec%.2f,"flame_sec":$flameSec%.2f,"total_sec":$total%.2f,""" +
       f""""baseline_sec":$baseline,"ratio_vs_baseline":${total / baseline}%.3f}""")

@@ -144,6 +144,9 @@ object ScaleCheck {
   }
 
   def main(args: Array[String]): Unit = {
+    // f"...%.3f" is default-locale-sensitive; a comma decimal separator
+    // would silently corrupt the machine-parsed JSON lines below
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
@@ -183,6 +186,13 @@ object ScaleCheck {
         }
         rmRf(new java.io.File(dst))
       }
+      // Claim ownership BEFORE synthesizing: if the run dies mid-synthesis the
+      // half-written dst still carries a marker (with a deliberately
+      // mismatching IN-PROGRESS stamp), so the next run deletes and rebuilds
+      // instead of tripping the ownership require above — the guard stays
+      // strict only for directories some OTHER process produced.
+      java.nio.file.Files.createDirectories(new java.io.File(dst).toPath)
+      java.nio.file.Files.write(marker.toPath, s"$synthStamp IN-PROGRESS".getBytes("UTF-8"))
       val t0 = System.nanoTime()
       synthesize(spark, s"$base/sf0.1", dst, reps)
       println(f"""SCALECHECK {"step":"synthesize","reps":$reps,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")

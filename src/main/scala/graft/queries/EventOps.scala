@@ -29,9 +29,11 @@ object EventOps {
     * The matched view rides as ONE struct through a single last(ignoreNulls), so
     * view_ts and view_value always come from the SAME view row even when a
     * view's value is null; equal-(user_id, ts) view ties break on event_id (the
-    * window orders views by it, and `last` takes the highest) — deterministic
-    * where a literal ASOF's pick would be engine-arbitrary. AsofSpec pins both
-    * properties on adversarial fixtures the parquet corpus doesn't contain.
+    * window orders views by it, and `last` takes the highest), then on value
+    * (nulls first, so views that are full duplicates except for value pick the
+    * same row on both engines) — deterministic where a literal ASOF's pick
+    * would be engine-arbitrary. AsofSpec pins these properties on adversarial
+    * fixtures the parquet corpus doesn't contain.
     */
   private[graft] def asofViewBeforeClick(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -41,7 +43,7 @@ object EventOps {
     val views = ev.filter(col("event_type") === "view")
       .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
         lit(0).as("__side"), col("event_id").as("__ord"), col("value").as("__vv"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "__side", "__ord")
+    val w = Window.partitionBy("user_id").orderBy("ts", "__side", "__ord", "__vv")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(views)
       .withColumn("__view", last(
@@ -146,7 +148,10 @@ object EventOps {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
           date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
           col("view_value"))
-        .orderBy("event_id")),
+        // ALL columns in the sort: since the row-robust oracle keeps one output
+        // row per click ROW, duplicate click event_ids make event_id alone a
+        // non-total order — and the driver's compare is positional
+        .orderBy("event_id", "user_id", "ts", "view_ts", "view_value")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,13 +201,18 @@ object EventOps {
       // event_ids an event_id partition would collapse rows the engine keeps.
       // Rid assignment among duplicate rows is arbitrary, but each rid's
       // partition is its own click row joined to the same view set, so the
-      // output multiset is invariant under that assignment.
+      // output multiset is invariant under that assignment. The view pick adds
+      // `r.value DESC NULLS LAST` past event_id (mirroring the Spark window's
+      // ascending-nulls-first `__vv` tiebreak), and the final ORDER BY lists
+      // every output column with NULLS FIRST on the nullable ones (Spark's
+      // ascending default) — both orders must be TOTAL on duplicate-id corpora
+      // because the driver's compare is positional.
       ("SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, " +
         "strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, r.value AS view_value " +
         "FROM (SELECT *, row_number() OVER (ORDER BY event_id) AS __rid FROM events WHERE event_type = 'click') l " +
         "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
         "ON l.user_id = r.user_id AND r.ts <= l.ts " +
-        "QUALIFY row_number() OVER (PARTITION BY l.__rid ORDER BY r.ts DESC, r.event_id DESC) = 1 " +
-        "ORDER BY l.event_id"),
+        "QUALIFY row_number() OVER (PARTITION BY l.__rid ORDER BY r.ts DESC, r.event_id DESC, r.value DESC NULLS LAST) = 1 " +
+        "ORDER BY l.event_id, l.user_id, ts, view_ts NULLS FIRST, view_value NULLS FIRST"),
   )
 }

@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
+    // f"...%.3f" is default-locale-sensitive; a comma decimal separator
+    // would silently corrupt the machine-parsed JSON lines below
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val name = args(0)
     val dir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 1

@@ -25,6 +25,7 @@ class RefWorkloadGateSpec extends AnyFunSuite {
     "/root/reference/test/data/experiment2.xml")
 
   test("reference workload completes under the published pandas baseline (40.7 s)") {
+    val bound = RefWorkload.baselineSec
     assume(files.forall(new java.io.File(_).exists()), "reference fixtures not present")
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     val t0 = System.nanoTime()
@@ -34,8 +35,10 @@ class RefWorkloadGateSpec extends AnyFunSuite {
     pfs.foreach(pf => force(hpct.Ops.compact(pf).df))
     pfs.foreach(pf => force(hpct.Ops.flameGeometry(pf)))
     val sec = (System.nanoTime() - t0) / 1e9
-    info(f"ref workload wall: $sec%.1f s (baseline 40.7 s)")
-    assert(sec < 40.726,
+    // measured 5.8 s warm at local[4] (chain-3 run) — ~7x headroom vs the bound,
+    // so the documented ±2-3x box drift cannot flake the gate
+    info(f"ref workload wall: $sec%.1f s (baseline $bound%.1f s)")
+    assert(sec < bound,
       f"reference workload took $sec%.1f s — slower than the reference's own " +
         "single-threaded pandas run; the hpct path has structurally regressed")
   }

@@ -52,6 +52,28 @@ class AsofSpec extends AnyFunSuite {
     }
   }
 
+  test("views duplicated down to the event_id still pick one row deterministically " +
+      "(value tiebreak, highest wins, null loses)") {
+    // the corpus a dedup operator exists for can reach the as-of join too: two
+    // view rows with the SAME (user, ts, event_id) but different values. Only
+    // the final `__vv` window tiebreak separates them — the pick must be the
+    // highest value (matching the oracle's r.value DESC NULLS LAST), stable
+    // under input order, and a null value must lose to any non-null.
+    val base = Seq[(Long, Long, String, Timestamp, java.lang.Double)](
+      (400L, 4L, "view", ts(5), 3.0),
+      (400L, 4L, "view", ts(5), 8.0), // exact duplicate id, differing value
+      (400L, 4L, "view", ts(5), null),
+      (402L, 4L, "click", ts(6), 1.0))
+    for (rows <- Seq(base, base.reverse)) {
+      val out = EventOps.asofViewBeforeClick(evDf(rows: _*))
+        .select("view_ts", "view_value").collect()
+      assert(out.length === 1)
+      assert(out.head.getTimestamp(0) === ts(5))
+      assert(out.head.getDouble(1) === 8.0,
+        "duplicate-id view tie must break on highest value")
+    }
+  }
+
   test("a click with no preceding view gets nulls; equal-ts view matches (inclusive bound)") {
     val out = EventOps.asofViewBeforeClick(evDf(
         (300L, 3L, "click", ts(1), 1.0), // no view yet
