@@ -209,6 +209,11 @@ object TextOps {
     * The intersection join runs over candidate pairs only, never all pairs.
     */
   private def jaccardCountsFrom(cand: DataFrame, dsh: DataFrame): DataFrame = {
+    // Deliberately joins the FULL cached shingle frame: a broadcast semi-join
+    // pre-filtering dsh to candidate docs was tried (r9) and made d05 ~2.3×
+    // SLOWER warm at sf10 — the filtered frame feeds three consumers, each of
+    // which re-derives the candidate pair list to build the broadcast, while
+    // the full-frame joins below are straight cache hits.
     val cnt = dsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
       .join(dsh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
