@@ -52,8 +52,21 @@ object ScaleCheck {
   case class EmbRow(vec_id: Long, embedding: Array[Float], label: Int)
 
   private def sign(r: Int, i: Int): Float = {
-    val h = (i + 1) * 2654435761L ^ (r.toLong * 0x9E3779B97F4A7C15L)
-    if (((h >>> 17) & 1L) == 1L) -1f else 1f
+    // splitmix64-style finalizer: the mixing of (r, i) must be NON-SEPARABLE.
+    // The previous `bit17((i+1)*C1 ^ r*C2)` factored into bit17(a_i) XOR
+    // bit17(b_r) — XOR is bitwise — so every same-shift replica pair (r ≡ r'
+    // mod 64) was either an exact DUPLICATE (equal global sign bit) or an
+    // exact NEGATION: only 64 shifts × 2 sign patterns = 128 distinct
+    // transforms existed, and reps > 64 manufactured duplicate replicas.
+    // Discovered at sf100 (round 9): d08w24 measured 7.07M candidate pairs ≈
+    // 3,650 duplicate replica pairs × 2,000 vectors, 30× the random-collision
+    // expectation. Multiply-xorshift rounds mix r into every bit, making the
+    // per-replica sign masks effectively independent (collision odds 2^-64).
+    var h = (i + 1).toLong * 2654435761L + r.toLong * 0x9E3779B97F4A7C15L
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^= h >>> 31
+    if ((h & 1L) == 1L) -1f else 1f
   }
 
   /** Write `reps` deterministic replicas of every sf table from `src` into `dst`. */
@@ -164,7 +177,9 @@ object ScaleCheck {
     // different reps count must be rebuilt, or every step silently measures the
     // wrong corpus — the stale-marker variant of a silent cap.
     val marker = new java.io.File(dst, "_SYNTH_DONE")
-    val synthStamp = s"scheme=cipher-v2 reps=$reps"
+    // v3 (round 9): embeddings' sign mixer became non-separable (see [[sign]]);
+    // documents' cipher is unchanged from v2
+    val synthStamp = s"scheme=cipher-v3 reps=$reps"
     val stampOk = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim == synthStamp
     if (!stampOk) {
@@ -243,6 +258,10 @@ object ScaleCheck {
       // at every SF — three points pin the rule, not one
       val (d08w, tD08w) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 16).count())
       val (d08w2, tD08w2) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 20).count())
+      // 24-bit: the rule's prescribed width for the FOURTH decade (sf100, 2M
+      // vectors) — measured at every SF like 16/20 so the diagonal has a
+      // measured point per decade instead of an extrapolated last row
+      val (d08w3, tD08w3) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 24).count())
       // skipped 64-bit d07 → emit nulls, not -1 sentinels a metric parser could
       // aggregate; the candidates_skip line above carries the prediction
       val d07Json = d07Opt match {
@@ -256,7 +275,8 @@ object ScaleCheck {
         f""""d07w128_pairs":$d07w,"d07w128_per_doc":${d07w.toDouble / docs}%.4f,"d07w128_sec":$tD07w%.1f,""" +
         f""""d08_pairs":$d08,"d08_per_vec":${d08.toDouble / vecs}%.4f,"d08_sec":$tD08%.1f,""" +
         f""""d08w16_pairs":$d08w,"d08w16_per_vec":${d08w.toDouble / vecs}%.4f,"d08w16_sec":$tD08w%.1f,""" +
-        f""""d08w20_pairs":$d08w2,"d08w20_per_vec":${d08w2.toDouble / vecs}%.4f,"d08w20_sec":$tD08w2%.1f}""")
+        f""""d08w20_pairs":$d08w2,"d08w20_per_vec":${d08w2.toDouble / vecs}%.4f,"d08w20_sec":$tD08w2%.1f,""" +
+        f""""d08w24_pairs":$d08w3,"d08w24_per_vec":${d08w3.toDouble / vecs}%.4f,"d08w24_sec":$tD08w3%.1f}""")
       graft.Caches.clearAll()
     }
 

@@ -19,7 +19,11 @@ object PlanProbe {
     val spark = SparkSession.builder()
       .appName("graft-plan-probe")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
+      // 32 suits sf0.1–sf10 on this box; at sf100 a 500M-row aggregation needs
+      // more partitions for its per-task hash maps to fit an 8g heap — the
+      // same knob a real cluster sizes to its data (AQE coalesces the excess)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.ui.enabled", false)
       .config("spark.log.level", "WARN")
       .getOrCreate()
