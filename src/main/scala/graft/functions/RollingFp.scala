@@ -33,28 +33,64 @@ object RollingFpKernel {
     offsets(nChars) = nBytes
     val wins = math.max(nChars - 7, 1)
     val md = TokenHash.digest()
-    var minHex: String = null
-    val seen = new java.util.HashSet[String]()
+    // Per-window work is allocation-free (r9; was the slowest scan-local text
+    // row at sf100, 5B windows): the digest goes into a reused 16-byte buffer,
+    // the min is tracked as RAW digest bytes (hex is monotone per byte, so
+    // unsigned byte order == hex lexicographic order) and hexed ONCE at the
+    // end, and distinct counting packs each digest into two longs in an
+    // open-addressed table (load factor <= 0.5) instead of boxing a 32-char
+    // String per window into a HashSet.
+    val out = new Array[Byte](16)
+    val minD = new Array[Byte](16)
+    var hasMin = false
+    var cap = 8
+    while (cap < wins * 2) cap <<= 1
+    val table = new Array[Long](cap * 2) // (hi, lo) pairs; (0, 0) = empty slot
+    var hasZeroDigest = false
+    var distinct = 0L
     var i = 0
     while (i < wins) {
       val from = offsets(math.min(i, nChars))
       val to = offsets(math.min(i + 8, nChars))
       md.reset()
       md.update(bytes, from, to - from)
-      val d = md.digest()
-      val hex = new Array[Char](32)
+      md.digest(out, 0, 16)
+      // unsigned byte-wise min == lexicographic min of the hex rendering
       var j = 0
-      while (j < 16) {
-        hex(2 * j) = hexChars((d(j) >> 4) & 0xf)
-        hex(2 * j + 1) = hexChars(d(j) & 0xf)
-        j += 1
+      var cmp = 0
+      if (hasMin) {
+        while (j < 16 && cmp == 0) {
+          cmp = (out(j) & 0xff) - (minD(j) & 0xff); j += 1
+        }
       }
-      val h = new String(hex)
-      if (minHex == null || h.compareTo(minHex) < 0) minHex = h
-      seen.add(h)
+      if (!hasMin || cmp < 0) { System.arraycopy(out, 0, minD, 0, 16); hasMin = true }
+      var hi = 0L; var lo = 0L
+      j = 0
+      while (j < 8) { hi = (hi << 8) | (out(j) & 0xffL); j += 1 }
+      while (j < 16) { lo = (lo << 8) | (out(j) & 0xffL); j += 1 }
+      if (hi == 0L && lo == 0L) {
+        if (!hasZeroDigest) { hasZeroDigest = true; distinct += 1 }
+      } else {
+        var idx = (java.lang.Long.hashCode(hi ^ (lo * 0x9E3779B97F4A7C15L)) & (cap - 1))
+        var done = false
+        while (!done) {
+          val th = table(2 * idx); val tl = table(2 * idx + 1)
+          if (th == 0L && tl == 0L) {
+            table(2 * idx) = hi; table(2 * idx + 1) = lo; distinct += 1; done = true
+          } else if (th == hi && tl == lo) done = true
+          else idx = (idx + 1) & (cap - 1)
+        }
+      }
       i += 1
     }
-    new GenericInternalRow(Array[Any](UTF8String.fromString(minHex), seen.size.toLong))
+    val hex = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = hexChars((minD(j) >> 4) & 0xf)
+      hex(2 * j + 1) = hexChars(minD(j) & 0xf)
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(new String(hex)), distinct))
   }
 }
 
