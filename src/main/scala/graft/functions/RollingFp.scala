@@ -43,11 +43,29 @@ object RollingFpKernel {
     val out = new Array[Byte](16)
     val minD = new Array[Byte](16)
     var hasMin = false
-    var cap = 8
-    while (cap < wins * 2) cap <<= 1
-    val table = new Array[Long](cap * 2) // (hi, lo) pairs; (0, 0) = empty slot
+    // Open-addressed (hi, lo) digest set, load factor <= 0.5, GROWN on demand:
+    // sizing up front as pow2 >= 2*wins would overflow Int for pathological
+    // single-row texts (wins > 2^29 wrapped the shift / the multiply and could
+    // hang the probe loop on a full table); growth is bounded by DISTINCT
+    // digests, and a row extreme enough to exhaust growth OOMs on the array
+    // allocation — a clean failure, like the boxed HashSet it replaced.
+    var cap = {
+      var c = 8; while (c < wins * 2 && c < (1 << 16)) c <<= 1; c
+    }
+    var table = new Array[Long](cap * 2) // (hi, lo) pairs; (0, 0) = empty slot
     var hasZeroDigest = false
     var distinct = 0L
+    def insert(tb: Array[Long], mask: Int, hi: Long, lo: Long): Boolean = {
+      // returns true if newly inserted; false if already present
+      var idx = java.lang.Long.hashCode(hi ^ (lo * 0x9E3779B97F4A7C15L)) & mask
+      while (true) {
+        val th = tb(2 * idx); val tl = tb(2 * idx + 1)
+        if (th == 0L && tl == 0L) { tb(2 * idx) = hi; tb(2 * idx + 1) = lo; return true }
+        if (th == hi && tl == lo) return false
+        idx = (idx + 1) & mask
+      }
+      false // unreachable
+    }
     var i = 0
     while (i < wins) {
       val from = offsets(math.min(i, nChars))
@@ -71,14 +89,18 @@ object RollingFpKernel {
       if (hi == 0L && lo == 0L) {
         if (!hasZeroDigest) { hasZeroDigest = true; distinct += 1 }
       } else {
-        var idx = (java.lang.Long.hashCode(hi ^ (lo * 0x9E3779B97F4A7C15L)) & (cap - 1))
-        var done = false
-        while (!done) {
-          val th = table(2 * idx); val tl = table(2 * idx + 1)
-          if (th == 0L && tl == 0L) {
-            table(2 * idx) = hi; table(2 * idx + 1) = lo; distinct += 1; done = true
-          } else if (th == hi && tl == lo) done = true
-          else idx = (idx + 1) & (cap - 1)
+        if (insert(table, cap - 1, hi, lo)) {
+          distinct += 1
+          if (distinct * 2 >= cap) { // keep load factor < 0.5: double + rehash
+            val next = new Array[Long](cap * 4)
+            var k = 0
+            while (k < cap) {
+              val th = table(2 * k); val tl = table(2 * k + 1)
+              if (th != 0L || tl != 0L) insert(next, cap * 2 - 1, th, tl)
+              k += 1
+            }
+            table = next; cap *= 2
+          }
         }
       }
       i += 1

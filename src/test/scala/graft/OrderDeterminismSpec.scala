@@ -25,6 +25,12 @@ class OrderDeterminismSpec extends AnyFunSuite {
   test("every query's output row order is invariant to shuffle partitioning and AQE") {
     val s = spark
     def run(parts: Int, aqe: Boolean, name: String): Seq[String] = {
+      // clear the (session, dir)-keyed cached frames (shingles/bands/simhash/
+      // centroids): a cache hit materialized under the FIRST run's config would
+      // let the second run reuse its partitioning, and the perturbation would
+      // never reach the plan segments below the cache point — the LSH/ANN
+      // queries would false-pass
+      Caches.clearAll()
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
       s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       try SparkEntry.queries(name)(s, dir).collect().map(_.toString).toSeq

@@ -35,6 +35,15 @@ class RollingFpSpec extends AnyFunSuite {
       }).toSeq
   }
 
+  test("a 100k-char text (forces the distinct-set to grow past its initial " +
+      "capacity) still equals the composed SQL formulation") {
+    // > 32,768 distinct windows exceeds the kernel's 2^16 initial table cap,
+    // exercising the resize + rehash path the r9 allocation-free rewrite added
+    val rnd = new scala.util.Random(42)
+    val big = Seq.fill(100000)(('a' + rnd.nextInt(26)).toChar).mkString
+    assert(viaNative(Seq(big)) === viaSql(Seq(big)))
+  }
+
   test("equals the composed SQL formulation, including short and multi-byte texts") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
