@@ -13,5 +13,6 @@ object Caches {
     graft.queries.Hierarchy.clearCaches()
     graft.queries.TextOps.clearCaches()
     graft.queries.VectorOps.clearCaches()
+    graft.queries.Sizing.clearCache()
   }
 }

@@ -7,8 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into the scan, so these deliberately do NOT pre-select columns.
   */
 object Tables {
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Volume-derived shuffle sizing rides on first table touch per (session,
+    // dir), so every entry point — Verify, Bench, tests, a library user —
+    // gets the sf100-proven partition rule without knowing a knob (Sizing).
+    Sizing.autoSize(s, dir)
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, dir: String): DataFrame    = table(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame    = table(s, dir, "nation")

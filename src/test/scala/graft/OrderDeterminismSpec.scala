@@ -11,7 +11,9 @@ import graft.SparkTestBase.spark
   * shuffle partition counts and AQE toggled, and demands byte-identical row
   * sequences. A non-total ORDER BY (ties whose payload differs) or an
   * order-sensitive pick without a pinned total order typically surfaces as a
-  * flip under exactly this perturbation.
+  * flip under exactly this perturbation. Since round 10 one of the two
+  * configs is a 256-partition AQE-on point — the sf100 production shape that
+  * Sizing's volume-derived auto-raise applies.
   *
   * sf0.001 keeps the double execution cheap (~136 runs). The net is partial by
   * nature — a tie the corpus doesn't contain can't flip here (adversarial-
@@ -24,6 +26,11 @@ class OrderDeterminismSpec extends AnyFunSuite {
 
   test("every query's output row order is invariant to shuffle partitioning and AQE") {
     val s = spark
+    // restore whatever was in effect BEFORE the test, not hard-coded values —
+    // if SparkTestBase's config ever changes, a hard-coded restore would leak
+    // a different config into later suites sharing the session
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
     def run(parts: Int, aqe: Boolean, name: String): Seq[String] = {
       // clear the (session, dir)-keyed cached frames (shingles/bands/simhash/
       // centroids): a cache hit materialized under the FIRST run's config would
@@ -35,12 +42,17 @@ class OrderDeterminismSpec extends AnyFunSuite {
       s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       try SparkEntry.queries(name)(s, dir).collect().map(_.toString).toSeq
       finally {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        s.conf.set("spark.sql.adaptive.enabled", savedAqe)
       }
     }
+    // The two configs are chosen maximally apart: 7 partitions with AQE off
+    // (the small-perturbation shape rounds 8-9 used) vs 256 partitions with
+    // AQE on — the sf100 production shape Sizing's volume-derived auto-raise
+    // now applies — so partition-count sizing can never change row order
+    // unnoticed, at two runs per query instead of three.
     val flipped = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      run(4, aqe = true, name) != run(7, aqe = false, name)
+      run(7, aqe = false, name) != run(256, aqe = true, name)
     }
     assert(flipped.isEmpty,
       s"row order changed with the physical plan (non-total ORDER BY or unpinned " +
