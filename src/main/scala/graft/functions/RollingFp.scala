@@ -92,6 +92,12 @@ object RollingFpKernel {
         if (insert(table, cap - 1, hi, lo)) {
           distinct += 1
           if (distinct * 2 >= cap) { // keep load factor < 0.5: double + rehash
+            // Int-safe growth: at cap = 2^29 the `cap * 4` element count would
+            // wrap negative (NegativeArraySizeException) before the JVM could
+            // even refuse the 8 GB allocation — fail with the real reason
+            if (cap > (1 << 28))
+              throw new IllegalStateException(
+                s"rolling_fp distinct-window set exceeded 2^28 entries in one document")
             val next = new Array[Long](cap * 4)
             var k = 0
             while (k < cap) {

@@ -213,6 +213,11 @@ object EventOps {
         "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
         "ON l.user_id = r.user_id AND r.ts <= l.ts " +
         "QUALIFY row_number() OVER (PARTITION BY l.__rid ORDER BY r.ts DESC, r.event_id DESC, r.value DESC NULLS LAST) = 1 " +
-        "ORDER BY l.event_id, l.user_id, ts, view_ts NULLS FIRST, view_value NULLS FIRST"),
+        // NULLS FIRST on every column, not just the ones nullable today:
+        // DuckDB's ASC default is NULLS LAST vs Spark's nulls-first, so an
+        // unpinned column is a latent positional mismatch the moment a corpus
+        // makes it nullable (harmless when non-nullable; e07 sets the precedent)
+        "ORDER BY l.event_id NULLS FIRST, l.user_id NULLS FIRST, ts NULLS FIRST, " +
+        "view_ts NULLS FIRST, view_value NULLS FIRST"),
   )
 }

@@ -48,7 +48,11 @@ class OracleLintSpec extends AnyFunSuite {
     // false-negative — the one failure mode this spec cannot afford.
     // \b keeps `list_sum` from double-matching as bare `sum` (underscore is a
     // word char, so there is no boundary before its inner "sum").
-    val re = """(?i)\b(?:list_)?sum\(([^()]*(?:\([^()]*\)[^()]*)*)\)""".r
+    // The argument pattern tolerates TWO levels of paren nesting (e.g.
+    // sum(coalesce(nullif(x,0),0))) — one level would silently skip such a
+    // sum; the R1 self-test pins the two-level case so the gap stays visible.
+    val inner = """[^()]*(?:\([^()]*\)[^()]*)*"""
+    val re = s"""(?i)\\b(?:list_)?sum\\(([^()]*(?:\\($inner\\)[^()]*)*)\\)""".r
     re.findAllMatchIn(sql).map { m =>
       val after = sql.substring(m.end)
       val isWindow = after.matches("""(?is)\s+OVER\b.*""")
@@ -90,6 +94,9 @@ class OracleLintSpec extends AnyFunSuite {
   test("R1 self-test: an uncast grouped integer sum IS flagged (rule can't rot silently)") {
     val scratch = "SELECT k, sum(l_linenumber) AS s FROM lineitem GROUP BY k"
     assert(r1Violations("scratch", scratch).nonEmpty, "grouped-sum lint lost its teeth")
+    // two-level-nested argument: the regex must still see the whole sum
+    val nested = "SELECT k, sum(coalesce(nullif(l_linenumber, 0), 0)) AS s FROM lineitem GROUP BY k"
+    assert(r1Violations("nested", nested).nonEmpty, "two-level-nested sum slipped past the lint")
     // and the cast / double / comparison forms stay exempt
     assert(r1Violations("s2", "SELECT CAST(sum(l_linenumber) AS BIGINT) AS s FROM lineitem").isEmpty)
     assert(r1Violations("s3", "SELECT sum(value) AS s FROM events").isEmpty)

@@ -28,18 +28,28 @@ class RefWorkloadGateSpec extends AnyFunSuite {
     val bound = RefWorkload.baselineSec
     assume(files.forall(new java.io.File(_).exists()), "reference fixtures not present")
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
-    val t0 = System.nanoTime()
-    val pfs = files.map(hpct.ProfileLoad.load(spark, _))
-    pfs.foreach(pf => force(pf.df))
-    pfs.foreach(pf => force(hpct.Ops.hotPath(pf, threshold = 0.01).df))
-    pfs.foreach(pf => force(hpct.Ops.compact(pf).df))
-    pfs.foreach(pf => force(hpct.Ops.flameGeometry(pf)))
-    val sec = (System.nanoTime() - t0) / 1e9
+    def runWorkload(): Double = {
+      val t0 = System.nanoTime()
+      val pfs = files.map(hpct.ProfileLoad.load(spark, _))
+      pfs.foreach(pf => force(pf.df))
+      pfs.foreach(pf => force(hpct.Ops.hotPath(pf, threshold = 0.01).df))
+      pfs.foreach(pf => force(hpct.Ops.compact(pf).df))
+      pfs.foreach(pf => force(hpct.Ops.flameGeometry(pf)))
+      (System.nanoTime() - t0) / 1e9
+    }
     // measured 5.8 s warm at local[4] (chain-3 run) — ~7x headroom vs the bound,
-    // so the documented ±2-3x box drift cannot flake the gate
+    // so the documented ±2-3x box drift cannot flake the gate; a one-off
+    // contention SPIKE past even that gets one retry before the assert, so a
+    // single stalled sample cannot fail CI without any code regression (a
+    // structural regression fails both runs)
+    val first = runWorkload()
+    val sec = if (first < bound) first else {
+      info(f"first run $first%.1f s exceeded the bound — retrying once to rule out a contention spike")
+      runWorkload()
+    }
     info(f"ref workload wall: $sec%.1f s (baseline $bound%.1f s)")
     assert(sec < bound,
-      f"reference workload took $sec%.1f s — slower than the reference's own " +
+      f"reference workload took $sec%.1f s (twice) — slower than the reference's own " +
         "single-threaded pandas run; the hpct path has structurally regressed")
   }
 }
