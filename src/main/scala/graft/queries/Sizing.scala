@@ -11,19 +11,17 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SHUFFLE_PARTITIONS` env var a user had to know about; this object
   * makes the engine turn the knob itself.
   *
-  * Rule: on first table access per (session, data dir), size the number of
-  * *initial* shuffle partitions to the on-disk parquet footprint of the dir —
-  * one partition per 64 MB of compressed input, clamped to [current setting,
-  * 4096]. The application is RAISE-ONLY and AQE-aware:
+  * Rule: on first table access per (session, data dir), size
+  * `spark.sql.shuffle.partitions` to the on-disk parquet footprint of the dir —
+  * one partition per 32 MB of compressed input (~2× headroom over the measured
+  * OOM cliff, see [[BytesPerPartition]]), clamped to [current setting, 4096].
+  * The application is RAISE-ONLY:
   *
-  *   - With AQE partition coalescing enabled (the Spark 4 default) the raise goes
-  *     to `spark.sql.adaptive.coalescePartitions.initialPartitionNum`, so small
-  *     shuffles coalesce right back down at runtime and only the genuinely large
-  *     aggregations keep the extra parallelism. Small-sf plans are untouched in
-  *     practice (at sf0.1 the computed value never exceeds the session's 32).
-  *   - With AQE off (e.g. a user session that disabled it) the raise must go to
-  *     `spark.sql.shuffle.partitions` itself — correctness-of-completion beats
-  *     small-query overhead.
+  *   - With AQE partition coalescing enabled (the Spark 4 default) the raised
+  *     base value acts as the initial partition count: small shuffles coalesce
+  *     right back down at runtime and only the genuinely large aggregations
+  *     keep the extra parallelism. Small-sf plans are untouched in practice
+  *     (at sf0.1 the computed value never exceeds the session's 32).
   *   - Never lowers: an explicit user/test setting of 4 partitions on a tiny dir
   *     stays 4 (the computed value clamps below the current setting), and an
   *     explicit `SPARK_GRAFT_SHUFFLE_PARTITIONS` pin disables auto-sizing
@@ -34,12 +32,19 @@ import org.apache.spark.sql.SparkSession
   * (session, dir), never a data read.
   */
 object Sizing {
-  /** On-disk (compressed) input bytes per initial shuffle partition. 64 MB
-    * reproduces the measured sf100 fix: a 16 GB dir sizes to 256 partitions —
-    * the value that took d09/d11 from OOM to 194/156 s — while sf10 (1.6 GB)
-    * and below stay at the session default.
+  /** On-disk (compressed) input bytes per initial shuffle partition.
+    *
+    * 32 MB, i.e. ~2× headroom over the minimum the sf100 campaign proved
+    * necessary. The measured cliff is SHARP: at 15 GB input, 240 partitions
+    * OOMs d09's ~500M-row shingle aggregation (GCLocker-starved burst
+    * allocations in the shuffle write under an 8g heap — both probe runs died
+    * identically in stage 5) while 256 completes in 194 s. A rule that lands a
+    * few partitions below the cliff is no rule at all, so the target sits at
+    * 2× the proven-safe density: a 15 GB dir sizes to 480 partitions. Excess
+    * partitions are cheap — AQE coalesces them on every small shuffle — while
+    * a shortfall is an OOM, so the asymmetry wants the divisor small.
     */
-  val BytesPerPartition: Long = 64L << 20
+  val BytesPerPartition: Long = 32L << 20
 
   /** Upper clamp: beyond 4096 initial partitions the per-partition scheduling
     * overhead dominates on any realistic executor count, and AQE coalescing
@@ -85,36 +90,64 @@ object Sizing {
     fs.getContentSummary(path).getLength
   }
 
+  private val footprints =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** Memoized [[footprintBytes]] — the cheap metadata signal behind
+    * volume-gated plan choices (e.g. d11's eval-side broadcast hint). One FS
+    * listing per (session, path), never a data read; cleared with
+    * [[clearCache]].
+    *
+    * Returns -1 (UNKNOWN) on a listing failure, and does NOT memoize the
+    * failure — a transient FS error must neither masquerade as "tiny input"
+    * (a 0 here would flip d11's gate to the broadcast path, the exact OOM the
+    * gate prevents) nor poison every retry for the session's lifetime.
+    * Callers must fail SAFE on -1: pick the plan that is correct at any size.
+    */
+  private[graft] def footprintBytesCached(s: SparkSession, path: String): Long =
+    footprints.get((s, path)).getOrElse {
+      try {
+        val b = footprintBytes(s, path)
+        footprints.putIfAbsent((s, path), b)
+        b
+      } catch { case _: Exception => -1L }
+    }
+
   /** Raise-only application of a computed partition count; returns the
     * effective initial partition count.
+    *
+    * Raises `spark.sql.shuffle.partitions` itself, NOT
+    * `...coalescePartitions.initialPartitionNum`. The r10 sf100 A/B measured
+    * the two knobs equivalent at equal values (both OOM d09 at 240, 256 is
+    * proven safe — the fix was headroom in [[BytesPerPartition]], not knob
+    * choice), so the base conf wins on coverage: it also reaches any path
+    * that reads `spark.sql.shuffle.partitions` directly rather than via
+    * `SQLConf.numShufflePartitions`, and with AQE coalescing enabled (the
+    * default) it behaves exactly like an initial count — small shuffles
+    * coalesce back down at runtime.
     */
   private[graft] def applyTarget(s: SparkSession, computed: Int): Int = {
     val cur = currentPartitions(s)
     if (computed <= cur) cur
     else {
-      val coalesceOn =
-        s.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
-          s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
-      if (coalesceOn) {
-        val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-        val existing = s.conf.getOption(key).map(_.toInt).getOrElse(0)
-        if (computed > existing) {
-          s.conf.set(key, computed.toString)
-          System.err.println(
-            s"[graft] auto-sized initial shuffle partitions to $computed (AQE coalesces the excess)")
-        }
-        math.max(computed, existing)
-      } else {
-        s.conf.set("spark.sql.shuffle.partitions", computed.toString)
-        System.err.println(
-          s"[graft] auto-sized spark.sql.shuffle.partitions to $computed (AQE off)")
-        computed
-      }
+      s.conf.set("spark.sql.shuffle.partitions", computed.toString)
+      // A session that PINS coalescePartitions.initialPartitionNum (a common
+      // AQE tuning knob — and what graft itself set before r10) would silently
+      // defeat the base-conf raise: Spark prefers that key when set. Raise it
+      // in lockstep when present-and-smaller, so both entry points agree.
+      val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+      if (s.conf.getOption(initKey).exists(_.toInt < computed))
+        s.conf.set(initKey, computed.toString)
+      System.err.println(
+        s"[graft] auto-sized spark.sql.shuffle.partitions to $computed " +
+          "(raise-only; AQE coalesces the excess on small shuffles)")
+      computed
     }
   }
 
-  /** Forget sized (session, dir) pairs — harness hygiene between phases whose
-    * inputs change underneath a live session (see [[graft.Caches]]).
+  /** Forget sized (session, dir) pairs and cached footprints — harness hygiene
+    * between phases whose inputs change underneath a live session (see
+    * [[graft.Caches]]).
     */
-  def clearCache(): Unit = sized.clear()
+  def clearCache(): Unit = { sized.clear(); footprints.clear() }
 }

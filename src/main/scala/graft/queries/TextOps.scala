@@ -69,16 +69,34 @@ object TextOps {
   /** Benchmark decontamination over an arbitrary (doc_id, text) frame: every
     * non-eval doc sharing any normalized word-3-gram with the eval slice
     * (doc_id % 13 == 0), with the distinct shared-shingle count as evidence.
-    * The eval side broadcasts (benchmark suites are MBs against a 100 TB corpus);
-    * the corpus probe stays scan-local with map-side-combined counts.
+    *
+    * `broadcastEval` gates the eval side's broadcast hint. In production the
+    * eval side is a fixed handful of benchmark files — megabytes against
+    * 100 TB — so it always broadcasts and the corpus probe never shuffles. The
+    * SYNTHETIC eval slice is a fixed FRACTION (1/13) of the corpus, so it
+    * grows with it: at sf100 its hashed relation is ~512 MB, and a forced
+    * broadcast dies re-inflating the disk-evicted relation per task
+    * (UNABLE_TO_ACQUIRE_MEMORY building a 512 MB BytesToBytesMap, measured
+    * r10). A hard-coded hint on an unboundedly-growing side is a scale bug;
+    * the caller decides from cheap dir metadata (see the d11 entry).
     */
-  private[graft] def decontaminateFrom(dsh: DataFrame): DataFrame = {
+  private[graft] def decontaminateFrom(dsh: DataFrame,
+      broadcastEval: Boolean = true): DataFrame = {
     val evalSh = dsh.filter(col("doc_id") % 13 === 0).select("shingle").distinct()
     dsh.filter(col("doc_id") % 13 =!= 0)
-      .join(broadcast(evalSh), Seq("shingle"))
+      .join(if (broadcastEval) broadcast(evalSh) else evalSh, Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** Broadcast the eval slice while `documents.parquet` stays under 256 MB
+    * on disk: the measured eval hashed-relation size tracks the compressed
+    * documents bytes ~1:1 (57 MB docs -> ~50 MB relation, fine; 560 MB docs ->
+    * ~512 MB relation, OOM), so the gate sits 4.5x above the proven-good point
+    * and 2.2x below the proven-bad one. Above it the planner's shuffle join
+    * takes over — the right plan once the "benchmark suite" is corpus-sized.
+    */
+  private val BroadcastEvalMaxDocBytes: Long = 256L << 20
 
   /** word 3-gram shingles: (doc_id, shingle), one row per position. */
   private def shinglesOf(docs: DataFrame): DataFrame =
@@ -226,6 +244,49 @@ object TextOps {
 
   private def jaccardCounts(s: SparkSession, d: String): DataFrame =
     jaccardCountsFrom(candidatePairs(s, d), distinctShinglesCached(s, d))
+
+  /** d10's end-to-end corpus cleaning, composed from the audited stages and
+    * oracle-checked AS A WHOLE: quality gate (t08's predicate) -> exact dedup
+    * keep-min (d02's window) -> near-dup clustering over the SURVIVORS (d04
+    * candidates + d05 verification + d09 components, rebuilt on the filtered
+    * set, not the cached full-corpus frames) -> drop every cluster member that
+    * is not its cluster's min id. Output is the cleaned corpus a training
+    * pipeline would feed downstream. At production scale each arrow
+    * materializes an intermediate table; here the stages fuse into one plan
+    * per pass.
+    *
+    * `SPARK_GRAFT_COMPONENTS_LOG=1` (the same switch Components honors) prints
+    * per-stage walls — each stage is materialized and timed separately, so the
+    * logged run does EXTRA work vs the plain plan; use the lines for
+    * attribution, the un-logged run for totals (SCALECHECK.md d10 rows).
+    */
+  private[graft] def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    registerKernels(s)
+    val logOn = sys.env.get("SPARK_GRAFT_COMPONENTS_LOG").contains("1")
+    def staged(name: String, df: DataFrame): DataFrame =
+      if (!logOn) df
+      else {
+        val t = System.nanoTime()
+        val n = df.count()
+        println(f"D10 stage=$name rows=$n sec=${(System.nanoTime() - t) / 1e9}%.2f")
+        df
+      }
+    // NOT localCheckpoint'd, though `ex` feeds three consumers: materializing
+    // the full text column costs more than the three re-scans it would save
+    // (measured at sf10: checkpointing ex made d10 ~30% SLOWER)
+    val ex = staged("survivors", documents(s, d).filter(qualityKeep)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn"))
+    val cand = staged("candidates", candidatePairsFromBands(bandsOf(s, ex)))
+    val edges = staged("edges", jaccardCountsFrom(cand, shinglesOf(ex).distinct())
+      .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
+      .select("id_a", "id_b"))
+    val losers = Components.minLabelComponents(edges)
+      .filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
+    ex.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+  }
 
   /** 128-bit SimHash candidate pairs — the d07 scale variant (SCALECHECK.md): the
     * 64-bit signature's 4×16-bit bands stop pruning once a shard approaches ~2^16
@@ -450,32 +511,9 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // The end-to-end corpus-cleaning pipeline, composed from the audited stages
-    // and oracle-checked AS A WHOLE: quality gate (t08's predicate) -> exact dedup
-    // keep-min (d02's window) -> near-dup clustering over the SURVIVORS (d04
-    // candidates + d05 verification + d09 components, rebuilt on the filtered set,
-    // not the cached full-corpus frames) -> drop every cluster member that is not
-    // its cluster's min id. Output is the cleaned corpus a training pipeline
-    // would feed downstream. At production scale each arrow materializes an
-    // intermediate table; here the stages fuse into one plan per pass.
-    "d10_clean_corpus" -> ((s, d) => {
-      registerKernels(s)
-      // NOT localCheckpoint'd, though `ex` feeds three consumers: materializing
-      // the full text column costs more than the three re-scans it would save
-      // (measured at sf10: checkpointing ex made d10 ~30% SLOWER)
-      val ex = documents(s, d).filter(qualityKeep)
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
-        .filter(col("__rn") === 1).drop("__rn")
-      val edges = jaccardCountsFrom(
-          candidatePairsFromBands(bandsOf(s, ex)), shinglesOf(ex).distinct())
-        .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
-        .select("id_a", "id_b")
-      val losers = Components.minLabelComponents(edges)
-        .filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
-      ex.join(losers, Seq("doc_id"), "left_anti")
-        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
-    }),
+    // End-to-end corpus cleaning — pipeline semantics, stage logging, and the
+    // measured localCheckpoint negative result documented on [[cleanCorpus]].
+    "d10_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
 
     // Benchmark decontamination (the train/test-overlap gate every training corpus
     // needs): flag every corpus doc sharing any NORMALIZED word-3-gram (lowercase,
@@ -483,10 +521,18 @@ object TextOps {
     // slice, with the count of distinct shared shingles as the contamination
     // evidence. `doc_id % 13 == 0` stands in for the benchmark suite; in production
     // the eval side is a fixed handful of benchmark files — megabytes against
-    // 100 TB — so it is broadcast and the corpus side never shuffles for the
-    // probe: scan-local shingle explode -> broadcast hash join -> per-doc count
-    // with map-side combine.
-    "d11_decontam" -> ((s, d) => decontaminateFrom(decontamShinglesCached(s, d))),
+    // 100 TB — so it broadcasts and the corpus side never shuffles for the probe:
+    // scan-local shingle explode -> broadcast hash join -> per-doc count with
+    // map-side combine. The synthetic slice GROWS with the corpus, so the hint is
+    // gated on the documents table's on-disk footprint (metadata only, memoized)
+    // rather than hard-coded — see [[decontaminateFrom]] for the measured failure.
+    "d11_decontam" -> ((s, d) => {
+      // fail SAFE on an unknown footprint (-1): the shuffle join is correct at
+      // any size, merely slower when the eval side would have fit a broadcast
+      val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
+      decontaminateFrom(decontamShinglesCached(s, d),
+        broadcastEval = fp >= 0 && fp < BroadcastEvalMaxDocBytes)
+    }),
 
     // Deterministic stratified sampling (the training-data mixing stage): N docs
     // per language, ordered by a salted content-free hash so the sample is

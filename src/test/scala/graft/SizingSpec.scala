@@ -27,13 +27,16 @@ class SizingSpec extends AnyFunSuite {
     }
   }
 
-  test("computedPartitions: 64 MB per partition, clamped to 4096") {
+  test("computedPartitions: 32 MB per partition, clamped to 4096") {
     assert(Sizing.computedPartitions(0L) === 0)
     assert(Sizing.computedPartitions(1L) === 1)
-    assert(Sizing.computedPartitions(64L << 20) === 1)
-    assert(Sizing.computedPartitions((64L << 20) + 1) === 2)
-    // the measured sf100 point: a 16 GB dir sizes to the 256 that fixed d09/d11
-    assert(Sizing.computedPartitions(16L << 30) === 256)
+    assert(Sizing.computedPartitions(32L << 20) === 1)
+    assert(Sizing.computedPartitions((32L << 20) + 1) === 2)
+    // the measured sf100 cliff: 240 OOMs d09, 256 completes — so a 15 GB dir
+    // must size WELL above 256, not land next to the cliff (480 = 2x headroom)
+    assert(Sizing.computedPartitions(15L << 30) === 480)
+    assert(Sizing.computedPartitions(15L << 30) >= 2 * 240,
+      "sizing must clear the measured OOM cliff with real margin")
     assert(Sizing.computedPartitions(1L << 40) === Sizing.MaxPartitions)
   }
 
@@ -46,29 +49,57 @@ class SizingSpec extends AnyFunSuite {
     }
   }
 
-  test("applyTarget with AQE coalescing raises initialPartitionNum, not shuffle.partitions") {
-    withConfRestored("spark.sql.shuffle.partitions", InitKey,
-      "spark.sql.adaptive.enabled") {
+  test("applyTarget raises shuffle.partitions itself (base conf, not initialPartitionNum)") {
+    // the r10 sf100 A/B found the two knobs equivalent at equal values; the
+    // base conf wins on coverage (reaches direct conf readers too) — see
+    // Sizing.applyTarget's scaladoc
+    withConfRestored("spark.sql.shuffle.partitions", InitKey) {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      assert(Sizing.applyTarget(spark, 256) === 256)
-      assert(spark.conf.get(InitKey) === "256")
-      // the session default is untouched: AQE coalesces small shuffles back down
-      assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
-      // a second, smaller raise must not shrink the sized value
-      assert(Sizing.applyTarget(spark, 128) === 256)
-      assert(spark.conf.get(InitKey) === "256")
-    }
-  }
-
-  test("applyTarget with AQE off raises shuffle.partitions directly") {
-    withConfRestored("spark.sql.shuffle.partitions", InitKey,
-      "spark.sql.adaptive.enabled") {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
       assert(Sizing.applyTarget(spark, 256) === 256)
       assert(spark.conf.get("spark.sql.shuffle.partitions") === "256")
       assert(spark.conf.getOption(InitKey).isEmpty)
+      // a second, smaller raise must not shrink the sized value
+      assert(Sizing.applyTarget(spark, 128) === 256)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "256")
+    }
+  }
+
+  test("applyTarget raises a pinned initialPartitionNum in lockstep (it would otherwise win)") {
+    // Spark prefers initialPartitionNum over shuffle.partitions when AQE
+    // coalescing is on — a session that pinned it small (pre-r10 graft did)
+    // would silently defeat the base-conf raise and re-OOM at sf100
+    withConfRestored("spark.sql.shuffle.partitions", InitKey) {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set(InitKey, "8")
+      assert(Sizing.applyTarget(spark, 256) === 256)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "256")
+      assert(spark.conf.get(InitKey) === "256")
+      // a pin LARGER than the computed value is someone's explicit headroom —
+      // leave it alone
+      spark.conf.set(InitKey, "4096")
+      assert(Sizing.applyTarget(spark, 512) === 512)
+      assert(spark.conf.get(InitKey) === "4096")
+    }
+  }
+
+  test("footprintBytesCached: -1 on error, never memoized; success memoized") {
+    Sizing.clearCache()
+    val bad = "/nonexistent/graft-sizing-spec-fp"
+    assert(Sizing.footprintBytesCached(spark, bad) === -1L,
+      "a listing failure must read as UNKNOWN, not as tiny input")
+    // the failure must not poison the cache: create the dir and retry
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sizing-fp")
+    java.nio.file.Files.write(tmp.resolve("x"), Array[Byte](1, 2, 3))
+    try {
+      assert(Sizing.footprintBytesCached(spark, bad) === -1L)
+      assert(Sizing.footprintBytesCached(spark, tmp.toString) === 3L)
+      // memoized: deleting the backing file must not change the cached answer
+      java.nio.file.Files.delete(tmp.resolve("x"))
+      assert(Sizing.footprintBytesCached(spark, tmp.toString) === 3L)
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.resolve("x"))
+      java.nio.file.Files.delete(tmp)
+      Sizing.clearCache()
     }
   }
 

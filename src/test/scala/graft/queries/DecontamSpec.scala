@@ -30,6 +30,24 @@ class DecontamSpec extends AnyFunSuite {
     assert(out === Map(1L -> 7L))
   }
 
+  test("the broadcastEval=false shuffle-join path returns identical rows") {
+    // the r10 footprint gate routes corpus-scale inputs (and unknown
+    // footprints) through the non-broadcast branch — every large input serves
+    // from this plan, so its parity with the broadcast path must be CI-pinned,
+    // not an sf100-manual-run assumption
+    val docs = docsDf(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      13L -> "The Quick, Brown Fox! Jumps Over The Lazy Dog.",
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "an entirely different document about something else here")
+    val dsh = TextOps.decontamShinglesOf(docs)
+    val viaBroadcast = TextOps.decontaminateFrom(dsh, broadcastEval = true).collect().toSeq
+    val viaShuffle = TextOps.decontaminateFrom(dsh, broadcastEval = false).collect().toSeq
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle.nonEmpty)
+  }
+
   test("the raw-shingle probe would NOT have caught it (the fix is load-bearing)") {
     val docs = docsDf(
       13L -> "The Quick, Brown Fox! Jumps Over The Lazy Dog.",
