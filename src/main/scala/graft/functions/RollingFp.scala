@@ -93,11 +93,13 @@ object RollingFpKernel {
           distinct += 1
           if (distinct * 2 >= cap) { // keep load factor < 0.5: double + rehash
             // Int-safe growth: at cap = 2^29 the `cap * 4` element count would
-            // wrap negative (NegativeArraySizeException) before the JVM could
-            // even refuse the 8 GB allocation — fail with the real reason
-            if (cap > (1 << 28))
+            // wrap negative (NegativeArraySizeException), and already at
+            // cap = 2^28 the doubled table is an 8 GiB single allocation that
+            // dies as an opaque executor OOM on any realistic heap — so trip
+            // BEFORE that attempt (>=, not >) and fail with the real reason
+            if (cap >= (1 << 28))
               throw new IllegalStateException(
-                s"rolling_fp distinct-window set exceeded 2^28 entries in one document")
+                s"rolling_fp distinct-window set exceeded 2^27 entries in one document")
             val next = new Array[Long](cap * 4)
             var k = 0
             while (k < cap) {

@@ -67,16 +67,27 @@ object Sizing {
     * Called from [[Tables.table]], so every query entry point gets it for free.
     */
   def autoSize(s: SparkSession, dir: String): Int =
-    sized.getOrElseUpdate((s, dir), {
-      if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) currentPartitions(s)
-      else {
-        // An unreadable dir (deleted between listing and sizing, permissions)
-        // must not fail the query that triggered sizing — fall through to the
-        // current setting; the read itself will surface the real error.
-        val bytes = try footprintBytes(s, dir) catch { case _: Exception => 0L }
-        applyTarget(s, computedPartitions(bytes))
+    sized.get((s, dir)).getOrElse {
+      if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) {
+        val cur = currentPartitions(s)
+        sized.putIfAbsent((s, dir), cur)
+        cur
+      } else {
+        // A listing failure (transient S3 throttle, permissions, dir deleted
+        // between listing and sizing) must not fail the query that triggered
+        // sizing — fall through to the current setting — but it must NOT be
+        // memoized either: caching the no-raise outcome would permanently
+        // disable the OOM protection for this dir on one transient error. The
+        // next table touch retries the one-RPC listing.
+        val bytes = footprintBytesCached(s, dir)
+        if (bytes < 0) currentPartitions(s)
+        else {
+          val r = applyTarget(s, computedPartitions(bytes))
+          sized.putIfAbsent((s, dir), r)
+          r
+        }
       }
-    })
+    }
 
   private def currentPartitions(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -128,21 +139,24 @@ object Sizing {
     */
   private[graft] def applyTarget(s: SparkSession, computed: Int): Int = {
     val cur = currentPartitions(s)
-    if (computed <= cur) cur
-    else {
+    val target = math.max(cur, computed)
+    if (computed > cur) {
       s.conf.set("spark.sql.shuffle.partitions", computed.toString)
-      // A session that PINS coalescePartitions.initialPartitionNum (a common
-      // AQE tuning knob — and what graft itself set before r10) would silently
-      // defeat the base-conf raise: Spark prefers that key when set. Raise it
-      // in lockstep when present-and-smaller, so both entry points agree.
-      val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-      if (s.conf.getOption(initKey).exists(_.toInt < computed))
-        s.conf.set(initKey, computed.toString)
       System.err.println(
         s"[graft] auto-sized spark.sql.shuffle.partitions to $computed " +
           "(raise-only; AQE coalesces the excess on small shuffles)")
-      computed
     }
+    // A session that PINS coalescePartitions.initialPartitionNum (a common AQE
+    // tuning knob — and what graft itself set before r10) would silently
+    // defeat the base conf: Spark prefers that key when set, so a small pin
+    // caps the effective initial count EVEN WHEN shuffle.partitions is already
+    // large. Raise it in lockstep to the effective base whenever it is
+    // present-and-smaller — outside the raise branch above, or a session with
+    // a big base and a tiny pin would skip the fix entirely.
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    if (s.conf.getOption(initKey).exists(_.toInt < target))
+      s.conf.set(initKey, target.toString)
+    target
   }
 
   /** Forget sized (session, dir) pairs and cached footprints — harness hygiene

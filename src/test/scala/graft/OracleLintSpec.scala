@@ -52,21 +52,28 @@ class OracleLintSpec extends AnyFunSuite {
     // sum(coalesce(nullif(x,0),0))) — one level would silently skip such a
     // sum; the R1 self-test pins the two-level case so the gap stays visible.
     val inner = """[^()]*(?:\([^()]*\)[^()]*)*"""
-    val re = s"""(?i)\\b(?:list_)?sum\\(([^()]*(?:\\($inner\\)[^()]*)*)\\)""".r
+    // two levels of paren nesting: `inner` wrapped one level deeper — the ONE
+    // shared depth definition for the sum argument AND the OVER specs below
+    val nested2 = s"""[^()]*(?:\\($inner\\)[^()]*)*"""
+    val re = s"""(?i)\\b(?:list_)?sum\\(($nested2)\\)""".r
     re.findAllMatchIn(sql).map { m =>
       val after = sql.substring(m.end)
       val isWindow = after.matches("""(?is)\s+OVER\b.*""")
       val before = sql.substring(math.max(0, m.start - 6), m.start).toUpperCase
+      // the OVER-spec patterns share `inner` with the sum-arg pattern, so a
+      // future nesting-depth change applies once, not copy by copy (the r9
+      // one-level gap was fixed in one copy and initially missed the others)
+      val overSpec = s"""\\s+OVER\\s*\\($nested2\\)"""
       val castWrapped = before.endsWith("CAST(") ||
         // CAST(sum(...) OVER (...) AS BIGINT): CAST( may sit further left of
         // nested parens; accept if the text after the window spec is `AS BIGINT)`
-        (isWindow && after.matches("""(?is)\s+OVER\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+BIGINT\s*\).*"""))
+        (isWindow && after.matches(s"""(?is)$overSpec\\s+AS\\s+BIGINT\\s*\\).*"""))
       // a sum whose value immediately feeds a comparison (e.g. t09's majority
       // vote `sum(...) >= 0`) never reaches an output column — HUGEINT compares
       // correctly, it only RENDERS differently
       val feedsComparison = !isWindow && after.matches("""(?s)\s*(>=|<=|<>|!=|=|<|>).*""")
       val alias = (if (isWindow)
-        """(?i)^\s+OVER\s*\([^()]*(?:\([^()]*\)[^()]*)*\)\s+AS\s+(\w+)""".r
+        s"""(?i)^$overSpec\\s+AS\\s+(\\w+)""".r
       else """(?i)^\s+AS\s+(\w+)""".r)
         .findFirstMatchIn(after).map(_.group(1)).getOrElse("")
       (m.start, m.group(1).trim.toLowerCase, castWrapped, alias.toLowerCase, feedsComparison)

@@ -82,6 +82,43 @@ class SizingSpec extends AnyFunSuite {
     }
   }
 
+  test("applyTarget raises a small pin even when the base conf is already large") {
+    // the early-return hazard: cur=1024 >= computed=480 must NOT skip the
+    // lockstep — Spark prefers the pinned initialPartitionNum, so a tiny pin
+    // caps the effective initial count regardless of the big base
+    withConfRestored("spark.sql.shuffle.partitions", InitKey) {
+      spark.conf.set("spark.sql.shuffle.partitions", "1024")
+      spark.conf.set(InitKey, "8")
+      assert(Sizing.applyTarget(spark, 480) === 1024)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "1024",
+        "raise-only: the larger base stays")
+      assert(spark.conf.get(InitKey) === "1024",
+        "the tiny pin must rise to the effective base or it silently wins")
+    }
+  }
+
+  test("autoSize does not memoize a listing failure (next touch retries)") {
+    withConfRestored("spark.sql.shuffle.partitions", InitKey) {
+      Sizing.clearCache()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sizing-retry")
+      val dir = tmp.resolve("data").toString
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      // first touch: dir missing -> listing fails -> fall back, NOT memoized
+      assert(Sizing.autoSize(spark, dir) === before.toInt)
+      // dir appears (the transient error clears): the retry must size it
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "x"),
+        new Array[Byte](1024))
+      val second = Sizing.autoSize(spark, dir)
+      assert(second === math.max(before.toInt, Sizing.computedPartitions(1024L)),
+        "a transient listing failure must not disable sizing for the session")
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "x"))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.delete(tmp)
+      Sizing.clearCache()
+    }
+  }
+
   test("footprintBytesCached: -1 on error, never memoized; success memoized") {
     Sizing.clearCache()
     val bad = "/nonexistent/graft-sizing-spec-fp"
