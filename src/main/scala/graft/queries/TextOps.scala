@@ -27,25 +27,25 @@ object TextOps {
     * fine for the harness (immutable inputs, short-lived session); long-lived
     * sessions that rewrite inputs must call [[clearCaches]].
     */
-  private val shinglesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val bandsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private val distinctShinglesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def shinglesCached(s: SparkSession, d: String): DataFrame =
-    shinglesCache.getOrElseUpdate((s, d), shingles(s, d).cache())
-
   private def bandsCached(s: SparkSession, d: String): DataFrame =
     bandsCache.getOrElseUpdate((s, d), bands(s, d).cache())
 
-  /** d05 hits the distinct shingle set twice (one scan per join side) — cache the
-    * deduped frame so the distinct's shuffle runs once per (session, dir).
+  /** The verify joins hit the distinct shingle set three times (two join sides
+    * + per-doc counts) — cache the deduped frame so the distinct's shuffle runs
+    * once per (session, dir). Built straight from the UNCACHED positional
+    * shingle frame: nothing else consumes the raw (doc_id, shingle) rows (r10 —
+    * rounds 3–9 also cached the raw frame, a corpus-sized block store entry
+    * whose only reader was this distinct's build scan; dropping it halves the
+    * text-side cache footprint and the explode it saves is scan-local).
     */
   private def distinctShinglesCached(s: SparkSession, d: String): DataFrame =
-    distinctShinglesCache.getOrElseUpdate((s, d), shinglesCached(s, d).distinct().cache())
+    distinctShinglesCache.getOrElseUpdate((s, d), shingles(s, d).distinct().cache())
 
   /** d11's probe frame: distinct word-3-gram shingles over NORMALIZED text —
     * lowercase + punctuation-strip (t03's normalization) applied BEFORE
@@ -167,7 +167,6 @@ object TextOps {
     * attribute to plans, not to whichever query touches each cache first.
     */
   def prewarm(s: SparkSession, d: String): Unit = {
-    shinglesCached(s, d).count()
     bandsCached(s, d).count()
     simhashCached(s, d).count()
     distinctShinglesCached(s, d).count()
@@ -176,7 +175,7 @@ object TextOps {
 
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
   def clearCaches(): Unit = {
-    for (m <- Seq(shinglesCache, bandsCache, simhashCache, distinctShinglesCache,
+    for (m <- Seq(bandsCache, simhashCache, distinctShinglesCache,
         decontamShinglesCache, simhash128Cache)) {
       m.values.foreach(_.unpersist())
       m.clear()
@@ -248,12 +247,24 @@ object TextOps {
   /** d10's end-to-end corpus cleaning, composed from the audited stages and
     * oracle-checked AS A WHOLE: quality gate (t08's predicate) -> exact dedup
     * keep-min (d02's window) -> near-dup clustering over the SURVIVORS (d04
-    * candidates + d05 verification + d09 components, rebuilt on the filtered
-    * set, not the cached full-corpus frames) -> drop every cluster member that
-    * is not its cluster's min id. Output is the cleaned corpus a training
-    * pipeline would feed downstream. At production scale each arrow
+    * candidates + d05 verification + d09 components) -> drop every cluster
+    * member that is not its cluster's min id. Output is the cleaned corpus a
+    * training pipeline would feed downstream. At production scale each arrow
     * materializes an intermediate table; here the stages fuse into one plan
     * per pass.
+    *
+    * The near-dup stages REUSE the cached full-corpus band/shingle frames
+    * (r10; rounds 7–9 rebuilt both on the survivor frame): minhash signatures
+    * and shingle sets are pure per-doc functions of `text`, so the candidate
+    * pairs among survivors are exactly the full-corpus pairs with BOTH
+    * endpoints in the survivor set, and the Jaccard counts join only ever
+    * touches candidate doc_ids — the full cached shingle frame returns
+    * identical rows. Two wins, measured in SCALECHECK.md's d10 section: the
+    * survivor shingle/band rebuild (the whole attributed sf100 cost, paid
+    * TWICE — once for bands, once for the verify) collapses into cache hits
+    * shared with d03–d05/d09, and with no band/shingle consumer left on `ex`
+    * the exact-dedup window's exchange carries (doc_id, lang, n_chars, 32-char
+    * hash) instead of the full text column.
     *
     * `SPARK_GRAFT_COMPONENTS_LOG=1` (the same switch Components honors) prints
     * per-stage walls — each stage is materialized and timed separately, so the
@@ -271,15 +282,24 @@ object TextOps {
         println(f"D10 stage=$name rows=$n sec=${(System.nanoTime() - t) / 1e9}%.2f")
         df
       }
-    // NOT localCheckpoint'd, though `ex` feeds three consumers: materializing
-    // the full text column costs more than the three re-scans it would save
-    // (measured at sf10: checkpointing ex made d10 ~30% SLOWER)
+    // Project to the output columns + dedup hash BEFORE the window: nothing
+    // downstream reads `text` (bands/shingles come from the cached frames), so
+    // the md5 must be materialized pre-exchange or the window's hash
+    // partitioning would drag the text column through the shuffle to evaluate
+    // its key. Not localCheckpoint'd: `ex` still feeds three consumers (the
+    // two semi-join id sides + the final anti-join) but is now a narrow
+    // re-scan (r9 measured checkpointing the then-wide `ex` ~30% SLOWER).
     val ex = staged("survivors", documents(s, d).filter(qualityKeep)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("__h"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
-      .filter(col("__rn") === 1).drop("__rn"))
-    val cand = staged("candidates", candidatePairsFromBands(bandsOf(s, ex)))
-    val edges = staged("edges", jaccardCountsFrom(cand, shinglesOf(ex).distinct())
+        Window.partitionBy(col("__h")).orderBy("doc_id")))
+      .filter(col("__rn") === 1).select("doc_id", "lang", "n_chars"))
+    val ids = ex.select("doc_id")
+    val cand = staged("candidates", candidatePairs(s, d)
+      .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi"))
+    val edges = staged("edges", jaccardCountsFrom(cand, distinctShinglesCached(s, d))
       .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
       .select("id_a", "id_b"))
     val losers = Components.minLabelComponents(edges)
@@ -512,7 +532,7 @@ object TextOps {
     }),
 
     // End-to-end corpus cleaning — pipeline semantics, stage logging, and the
-    // measured localCheckpoint negative result documented on [[cleanCorpus]].
+    // cached-frame reuse argument (r10) documented on [[cleanCorpus]].
     "d10_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
 
     // Benchmark decontamination (the train/test-overlap gate every training corpus
