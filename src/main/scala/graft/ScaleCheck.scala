@@ -72,8 +72,10 @@ object ScaleCheck {
   /** Write `reps` deterministic replicas of every sf table from `src` into `dst`. */
   def synthesize(s: SparkSession, src: String, dst: String, reps: Int): Unit = {
     import s.implicits._
-    // events carries ns-epoch longs (see Tables.events); read raw so the replica
-    // keeps the producer's physical type and Tables.events reads sf1 identically
+    // events.ts has shipped as ns-epoch longs and as timestamp[us] across
+    // testdata generations (see Tables.events); read raw (legacy conf keeps a
+    // nanos column scannable) so the replica keeps the producer's physical
+    // type and Tables.events adapts to sf1 exactly as it does to the source
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def rd(name: String) = s.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String): Unit =

@@ -123,6 +123,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("d10: the exact-dedup exchange is narrow — text never shuffles") {
+    // r10 removed the survivor-frame shingle/band rebuild: candidates
+    // semi-join the cached full-corpus pairs, the Jaccard verify reads the
+    // cached distinct-shingle frame. The cached frames themselves can't be
+    // plan-pinned — the components loop consumes them EAGERLY at construction
+    // time and the returned plan sees only its localCheckpoint leaves — but
+    // the change's other half can: with no band/shingle consumer left on the
+    // survivor frame, the keep-min window's exchange must carry (doc_id, lang,
+    // n_chars, md5) and never the text column. A regression that rebuilds
+    // shingles from the survivor frame re-grows text through this exchange.
+    val qe = graft.SparkEntry.queries("d10_clean_corpus")(spark, sf).queryExecution
+    val fmt = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val blocks = fmt.split("\n\\(").toSeq
+    val exch = blocks.filter(b => b.startsWith("Exchange", b.indexOf(") ") + 2) &&
+      b.contains("hashpartitioning(__h"))
+    assert(exch.nonEmpty, s"no md5-keyed dedup exchange found:\n$fmt")
+    exch.foreach(b => assert(!b.contains("text#"),
+      s"the dedup window's exchange drags the text column:\n$b"))
+    // and the keep-min row_number is rank-limited MAP-SIDE before that exchange
+    assert(fmt.contains("WindowGroupLimit"), fmt)
+  }
+
   test("e06 salted sessions equal plain sessions (salt-invariance)") {
     val e01 = graft.SparkEntry.queries("e01_sessions")(spark, sf).collect()
     val e06 = graft.SparkEntry.queries("e06_sessions_salted")(spark, sf).collect()
