@@ -226,11 +226,6 @@ object TextOps {
     * The intersection join runs over candidate pairs only, never all pairs.
     */
   private def jaccardCountsFrom(cand: DataFrame, dsh: DataFrame): DataFrame = {
-    // Deliberately joins the FULL cached shingle frame: a broadcast semi-join
-    // pre-filtering dsh to candidate docs was tried (r9) and made d05 ~2.3×
-    // SLOWER warm at sf10 — the filtered frame feeds three consumers, each of
-    // which re-derives the candidate pair list to build the broadcast, while
-    // the full-frame joins below are straight cache hits.
     val cnt = dsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
       .join(dsh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
@@ -241,8 +236,60 @@ object TextOps {
       .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
   }
 
+  /** Verify-shingle strategy gate for [[jaccardCountsGated]]: below the
+    * threshold the verify reads the shared cached distinct-shingle frame
+    * (straight cache hits — warm-bench-optimal; a candidate-restricted
+    * rebuild was measured ~2.3× slower warm at sf10 in r9); above it the
+    * cached full-corpus frame exceeds the storage pool severalfold and every
+    * "hit" becomes eviction churn + disk-spill reads (measured r10 at sf100:
+    * d10 188.6 → 262/315 s, rep 2 SLOWER than rep 1 — the eviction tell), so
+    * the verify instead shingles ONLY candidate docs scan-locally. Same
+    * 256 MB compressed-documents pivot as [[BroadcastEvalMaxDocBytes]], and
+    * for the same shape of reason: both caches grow ~linearly with the corpus
+    * while the memory they must fit is fixed; sf10 (56 MB) is measured-good,
+    * sf100 (560 MB) measured-bad, and the gate sits between with margin.
+    */
+  private val CachedVerifyMaxDocBytes: Long = 256L << 20
+
+  /** Jaccard verification counts with the footprint-gated shingle strategy.
+    * Big-corpus path: the candidate pairs are localCheckpoint'd ONCE (the r9
+    * slowdown was each of three consumers re-deriving the band join, not the
+    * restriction itself), the candidate id set derives from the checkpoint,
+    * and the scan-local shingle explode semi-joins to it BEFORE the distinct —
+    * AQE turns that semi-join into a broadcast while the id set is small
+    * (~16% of docs at sf100) and a shuffle join if candidates ever grow
+    * corpus-sized, and the distinct then shuffles an order of magnitude fewer
+    * rows than the full-corpus frame. Results are identical: every id the
+    * counts/intersection joins touch is a candidate id by construction.
+    */
+  private def jaccardCountsGated(s: SparkSession, d: String, cand0: DataFrame): DataFrame = {
+    val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
+    if (fp >= 0 && fp < CachedVerifyMaxDocBytes)
+      jaccardCountsFrom(cand0, distinctShinglesCached(s, d))
+    else jaccardCountsRestricted(s, d, cand0)
+  }
+
+  /** The big-corpus branch of [[jaccardCountsGated]], visible to the spec that
+    * pins its row-for-row equivalence with the cached branch on small corpora
+    * (the gate itself only flips above [[CachedVerifyMaxDocBytes]], so the
+    * oracle suite alone would never execute this path).
+    */
+  private[graft] def jaccardCountsRestricted(s: SparkSession, d: String,
+      cand0: DataFrame): DataFrame = {
+    val cand = cand0.localCheckpoint()
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val vsh = shingles(s, d).join(ids, Seq("doc_id"), "left_semi").distinct()
+    jaccardCountsFrom(cand, vsh)
+  }
+
+  /** Test hook: the cached branch of the gate, for the equivalence spec. */
+  private[graft] def jaccardCountsFromCachedForTest(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame =
+    jaccardCountsFrom(cand, distinctShinglesCached(s, d))
+
   private def jaccardCounts(s: SparkSession, d: String): DataFrame =
-    jaccardCountsFrom(candidatePairs(s, d), distinctShinglesCached(s, d))
+    jaccardCountsGated(s, d, candidatePairs(s, d))
 
   /** d10's end-to-end corpus cleaning, composed from the audited stages and
     * oracle-checked AS A WHOLE: quality gate (t08's predicate) -> exact dedup
@@ -258,13 +305,15 @@ object TextOps {
     * and shingle sets are pure per-doc functions of `text`, so the candidate
     * pairs among survivors are exactly the full-corpus pairs with BOTH
     * endpoints in the survivor set, and the Jaccard counts join only ever
-    * touches candidate doc_ids — the full cached shingle frame returns
-    * identical rows. Two wins, measured in SCALECHECK.md's d10 section: the
-    * survivor shingle/band rebuild (the whole attributed sf100 cost, paid
-    * TWICE — once for bands, once for the verify) collapses into cache hits
-    * shared with d03–d05/d09, and with no band/shingle consumer left on `ex`
-    * the exact-dedup window's exchange carries (doc_id, lang, n_chars, 32-char
-    * hash) instead of the full text column.
+    * touches candidate doc_ids — so any shingle frame covering the candidate
+    * docs returns identical rows, and the verify goes through the same
+    * footprint-gated strategy as d05/d09 ([[jaccardCountsGated]]: cached
+    * full-corpus frame below the gate, candidate-restricted scan-local build
+    * above it — the ungated cached frame at sf100 thrashed the storage pool;
+    * SCALECHECK.md's d10 section has the measurements). The other win stands at
+    * every scale: with no band/shingle consumer left on `ex` the exact-dedup
+    * window's exchange carries (doc_id, lang, n_chars, 32-char hash) instead
+    * of the full text column.
     *
     * `SPARK_GRAFT_COMPONENTS_LOG=1` (the same switch Components honors) prints
     * per-stage walls — each stage is materialized and timed separately, so the
@@ -299,7 +348,7 @@ object TextOps {
     val cand = staged("candidates", candidatePairs(s, d)
       .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
       .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi"))
-    val edges = staged("edges", jaccardCountsFrom(cand, distinctShinglesCached(s, d))
+    val edges = staged("edges", jaccardCountsGated(s, d, cand)
       .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
       .select("id_a", "id_b"))
     val losers = Components.minLabelComponents(edges)

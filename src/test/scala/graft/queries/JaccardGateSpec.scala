@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+
+/** The Jaccard verify has two footprint-gated strategies (TextOps.
+  * jaccardCountsGated): cached full-corpus distinct shingles below the gate,
+  * candidate-restricted scan-local shingles above it. The gate flips on the
+  * documents footprint, so the oracle suite (sf0.01) only ever executes the
+  * cached branch — this spec executes the BIG branch directly on the small
+  * corpora and demands row-for-row equality, which is the whole correctness
+  * argument for the gate: any shingle frame covering the candidate docs
+  * yields identical counts.
+  */
+class JaccardGateSpec extends AnyFunSuite {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+
+  test("restricted verify == cached verify, row for row (sf0.001 and sf0.01)") {
+    val s = spark
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val cand = TextOps.candidatePairs(s, dir)
+      val cached = rows(TextOps.jaccardCountsFromCachedForTest(s, dir, cand))
+      val restricted = rows(TextOps.jaccardCountsRestricted(s, dir, cand))
+      assert(restricted === cached, s"gate branches disagree on $dir")
+      assert(cached.nonEmpty, s"vacuous compare on $dir — no candidate pairs")
+    }
+  }
+}
