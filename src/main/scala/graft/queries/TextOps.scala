@@ -165,11 +165,21 @@ object TextOps {
 
   /** Materialize the shared caches up front (bench warmup) so per-query timings
     * attribute to plans, not to whichever query touches each cache first.
+    *
+    * The distinct-shingle frame is only ever read by the verify's BELOW-GATE
+    * branch ([[jaccardCountsGated]]); above [[CachedVerifyMaxDocBytes]] (or on
+    * an unknown footprint, where the gate fails to the restricted branch) no
+    * query touches it, so building it here would spend the warmup wall on a
+    * corpus-sized frame that then sits in the storage pool evicting the caches
+    * that DO serve (bands/simhash/decontam share the same pool — the eviction
+    * churn SCALECHECK.md's d10 section measures).
     */
   def prewarm(s: SparkSession, d: String): Unit = {
     bandsCached(s, d).count()
     simhashCached(s, d).count()
-    distinctShinglesCached(s, d).count()
+    val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
+    if (fp >= 0 && fp < CachedVerifyMaxDocBytes)
+      distinctShinglesCached(s, d).count()
     decontamShinglesCached(s, d).count()
   }
 
