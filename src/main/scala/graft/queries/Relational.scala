@@ -5,11 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.B generic relational surface, declared as named oracle-checked queries
-  * over the driver's synthetic tables. Each query pins row order (full ORDER BY on a
-  * unique key) and aliases every computed column identically to its DuckDB oracle, so
-  * the driver's sorted-column hash compare is deterministic. Double-valued aggregates
-  * are rounded (2–6 dp) because Spark and DuckDB may sum in different orders; per-row
-  * arithmetic is left exact (same IEEE ops on the same inputs on both sides).
+  * over the driver's synthetic tables. Each query pins a TOTAL row order — the sort
+  * keys must determine every projected column, because the driver compares rows
+  * positionally. (l_orderkey, l_linenumber) is NOT a key of the synthetic lineitem
+  * (~20% of rows share a pair at every sf — found by an sf1 oracle cross-check in
+  * round 10, where a semi-join's reordering broke the stable-scan-order luck that
+  * had let the two-column sort pass at sf0.01), so every lineitem projection
+  * tiebreaks on its remaining projected columns; tied rows are then bytewise
+  * identical and interchangeable. TotalOrderSpec re-derives this property for every
+  * oracle from its ORDER BY clause. Computed columns alias identically on both
+  * sides. Double-valued aggregates are rounded (2–6 dp) because Spark and DuckDB may
+  * sum in different orders; per-row arithmetic is left exact (same IEEE ops on the
+  * same inputs on both sides).
   *
   * Scale notes are per query; global rule: aggregations/joins shuffle on their keys,
   * dimension joins broadcast, and no query collects to the driver.
@@ -24,7 +31,7 @@ object Relational {
     "b01_project" -> ((s, d) =>
       lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")),
 
     // B2: boolean-mask filter + conjunction (reference examples.ipynb cell 7).
     // Filters push to the parquet scan (PushedFilters in .explain).
@@ -63,7 +70,7 @@ object Relational {
       val pk = part(s, d).filter(col("p_size") > 40)
       li.join(pk, li("l_partkey") === pk("p_partkey"), "left_semi")
         .select("l_orderkey", "l_linenumber", "l_partkey")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     }),
 
     // B7: row-wise UDF replaced by a native CASE expression (reference apply(axis=1),
@@ -75,7 +82,7 @@ object Relational {
           when(col("l_discount") < 0.03, "low")
             .when(col("l_discount") < 0.07, "mid")
             .otherwise("high").as("band"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "band")),
 
     // B8: insert column at position (reference df.insert, HD.py:385) — withColumn +
     // explicit select ordering. The product stays UNROUNDED: both engines compute the
@@ -85,7 +92,9 @@ object Relational {
       lineitem(s, d)
         .withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "revenue", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (extendedprice, discount) determine revenue, so the four base columns
+        // totally order the projection without sorting on the computed product
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")),
 
     // B9: cursor/iteration replaced by a lag window (reference iterrows, HD.py:359) —
     // partitioned by customer so no global single-partition window at scale.
@@ -232,7 +241,9 @@ object Relational {
           round(pow(lit(1) + col("l_discount"), 2), 6).as("pow_disc"),
           round(log(col("l_extendedprice")), 6).as("ln_price"),
           abs(round(col("l_tax") - col("l_discount"), 2)).as("tdiff"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // rounded doubles sort bit-identically on both engines; rows still tied
+        // after all six keys are bytewise identical, so the order is total
+        .orderBy("l_orderkey", "l_linenumber", "sqrt_qty", "pow_disc", "ln_price", "tdiff")),
 
     // B21: timestamp functions (driver `events`/`orders` tables; SURVEY B21).
     "b21_time" -> ((s, d) =>
@@ -265,7 +276,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "b01_project" ->
-      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_extendedprice NULLS FIRST",
     "b02_filter" ->
       "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING' ORDER BY c_custkey",
     "b03_key_lookup" ->
@@ -275,11 +286,11 @@ object Relational {
     "b05_argmax" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1",
     "b06_semijoin" ->
-      "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40) ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40) ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_partkey NULLS FIRST",
     "b07_case_expr" ->
-      "SELECT l_orderkey, l_linenumber, CASE WHEN l_discount < 0.03 THEN 'low' WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_discount < 0.03 THEN 'low' WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, band NULLS FIRST",
     "b08_insert_column" ->
-      "SELECT l_orderkey, l_linenumber, l_extendedprice, l_extendedprice * (1 - l_discount) AS revenue, l_discount FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice, l_extendedprice * (1 - l_discount) AS revenue, l_discount FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_extendedprice NULLS FIRST, l_discount NULLS FIRST",
     "b09_lag" ->
       "SELECT o_custkey, o_orderkey, o_totalprice, o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS delta FROM orders ORDER BY o_custkey, o_orderkey",
     "b10_slice" ->
@@ -301,7 +312,7 @@ object Relational {
     "b19_strings" ->
       "SELECT p_partkey, upper(split_part(p_name, ' ', 1)) AS first_word, regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num, length(p_name) AS name_len FROM part ORDER BY p_partkey",
     "b20_math" ->
-      "SELECT l_orderkey, l_linenumber, round(sqrt(l_quantity), 6) AS sqrt_qty, round(pow(1 + l_discount, 2), 6) AS pow_disc, round(ln(l_extendedprice), 6) AS ln_price, abs(round(l_tax - l_discount, 2)) AS tdiff FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, round(sqrt(l_quantity), 6) AS sqrt_qty, round(pow(1 + l_discount, 2), 6) AS pow_disc, round(ln(l_extendedprice), 6) AS ln_price, abs(round(l_tax - l_discount, 2)) AS tdiff FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, sqrt_qty NULLS FIRST, pow_disc NULLS FIRST, ln_price NULLS FIRST, tdiff NULLS FIRST",
     "b21_time" ->
       "SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n, round(sum(o_totalprice), 2) AS tot FROM orders GROUP BY strftime(o_orderdate, '%Y-%m') ORDER BY mon",
     "b22_distinct" ->
