@@ -209,12 +209,15 @@ object TextOps {
     candidatePairsFromBands(bandsCached(s, d))
 
   /** SimHash LSH candidate pairs: docs sharing any of the four 16-bit
-    * (band_index, band_value) buckets, id_a < id_b. Candidate ids first: the
-    * bucket join and the cross-band distinct shuffle ONLY (id_a, id_b) — a pair
-    * colliding in k bands would otherwise ride k copies of both 4-band
-    * signatures through the exchanges; d07 joins the signatures back once per
-    * deduped pair for the hamming verify. Public so ScaleCheck can measure
-    * candidate growth across scale factors.
+    * (band_index, band_value) buckets, id_a < id_b. This is the MEASUREMENT
+    * probe behind ScaleCheck's candidate-growth tables — the d07 query itself
+    * no longer materializes this frame (r10: its distinct() hash-aggregated
+    * the quadratic-regime join output and OOM'd at sf100; the query now
+    * verifies hamming inline on the streaming band join and dedupes only the
+    * filtered pairs). Counting distinct candidates stays safe here because
+    * count() reduces the aggregate map to (id_a, id_b) keys with no payload
+    * and ScaleCheck's quadratic-regime skip avoids the cells where even that
+    * is pointless.
     */
   def simhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sh = simhashCached(s, d)
@@ -543,17 +546,33 @@ object TextOps {
     // full signature (sum of per-band bit_count of xor). Candidate generation is a
     // keyed equi-join — never all-pairs — and 2^16 buckets per band keep the
     // candidate count ~linear in corpus size (the old nibble scheme had 16 buckets
-    // per band -> N²/64 pairs).
+    // per band -> N²/64 pairs) UNTIL ~2M docs, where the N²/2^16-per-band random
+    // term dominates (SCALECHECK's documented quadratic regime; the 128-bit
+    // signature is the scale knob). The plan must survive that regime anyway:
+    // both full signatures ride the banded frames (4 copies × 32 B per doc —
+    // ~1 GB per side at 5M docs, trivial next to a pair-keyed exchange), hamming
+    // computes INLINE on the streaming join output, and only the filtered ≤3 set
+    // is deduped. The previous shape — distinct() on the raw candidate pairs,
+    // then two signature joins — hash-aggregated the ~1.5e9-row join output and
+    // OOM'd an 8 GB heap at sf100 (caught by round 10's full-suite sweep at the
+    // fourth decade); inlining turns that into a codegen'd filter with no
+    // memory footprint, and drops two pair-sized exchanges at every scale.
     "d07_simhash_neardup" -> ((s, d) => {
       val sh = simhashCached(s, d)
-      val pairs = simhashCandidatePairs(s, d)
-      def sigs(p: String) = sh.select(col("doc_id").as(s"id_$p") +:
-        (0 to 3).map(b => col(s"s$b").as(s"$p$b")): _*)
-      pairs.join(sigs("a"), "id_a").join(sigs("b"), "id_b")
+      def banded(p: String) = sh
+        .select(col("doc_id").as(s"id_$p") +:
+          (0 to 3).map(b => col(s"s$b").as(s"$p$b")) :+
+          explode(array((0 to 3).map(b =>
+            struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"): _*)
+        .select(col(s"id_$p") +: (0 to 3).map(b => col(s"$p$b")) :+
+          col("x.bi").as("bi") :+ col("x.bv").as("bv"): _*)
+      banded("a").join(banded("b"), Seq("bi", "bv"))
+        .filter(col("id_a") < col("id_b"))
         .withColumn("hamming",
           (0 to 3).map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("long"))
         .filter(col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
+        .distinct()
         .orderBy("id_a", "id_b")
     }),
 
