@@ -159,6 +159,7 @@ object ScaleCheck {
   }
 
   def main(args: Array[String]): Unit = {
+    JvmCheck.warnIfModulesClosed()
     // f"...%.3f" is default-locale-sensitive; a comma decimal separator
     // would silently corrupt the machine-parsed JSON lines below
     java.util.Locale.setDefault(java.util.Locale.ROOT)

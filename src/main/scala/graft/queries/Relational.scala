@@ -204,23 +204,46 @@ object Relational {
       c.unionByName(su, allowMissingColumns = true).orderBy("name")
     }),
 
-    // B18: array functions (reference callpath ops, HD.py:88-91, 283) — collect_list
-    // is made deterministic with sort_array; output scalars + a joined string so the
-    // compare never depends on list hashing.
-    "b18_arrays" -> ((s, d) =>
+    // B18: array functions (reference callpath ops, HD.py:88-91, 283). The sorted
+    // per-order line-number list is rebuilt from per-value COUNTS instead of
+    // collect_list (r10): l_linenumber's domain is bounded (1..7, TPC-H line
+    // numbers), so `flatten(zip_with(sequence, counts, array_repeat))` produces the
+    // exact sorted multiset — duplicates included — from seven fixed-width native
+    // sums. collect_list is a TypedImperativeAggregate: per-row object buffers +
+    // per-group serialize outside Tungsten accounting, and at 600M rows on a
+    // memory-dense executor (local[32] in 8g = 0.25 GB/core) it heap-OOMs at ANY
+    // shuffle partition count — measured at sf100, 479 and 960 partitions both die,
+    // while this formulation is one codegen'd HashAggregate with map-side combine
+    // and spill-safe fixed-width rows. The bounded-domain assumption is guarded
+    // loudly: assert_true on min/max fails the query rather than silently
+    // truncating the array if the generator ever emits line numbers outside 1..7.
+    // The array FUNCTIONS under demonstration (size / element_at / array_contains /
+    // concat_ws) still run on the constructed array; sum_pk is a plain sum (its
+    // array detour carried no information).
+    "b18_arrays" -> ((s, d) => {
+      val cnts = (1 to 7).map(n =>
+        sum(when(col("l_linenumber") === n, 1).otherwise(0)).as(s"__c$n"))
       lineitem(s, d)
         .groupBy("l_orderkey")
-        .agg(
-          sort_array(collect_list("l_linenumber")).as("lns"),
-          sort_array(collect_list("l_partkey")).as("pks"))
+        .agg(cnts.head, cnts.tail ++ Seq(
+          sum("l_partkey").as("sum_pk"),
+          min("l_linenumber").as("__mn"), max("l_linenumber").as("__mx")): _*)
+        .where(assert_true(coalesce(col("__mn") >= 1 && col("__mx") <= 7, lit(true)),
+          lit("l_linenumber outside the bounded domain 1..7 b18 reconstructs from")).isNull)
+        .withColumn("lns",
+          flatten(zip_with(
+            sequence(lit(1), lit(7)),
+            array((1 to 7).map(n => col(s"__c$n")): _*),
+            (n, c) => array_repeat(n, c.cast("int")))))
         .select(
           col("l_orderkey"),
           size(col("lns")).cast("long").as("n_items"),
           element_at(col("lns"), 1).as("first_ln"),
           array_contains(col("lns"), 3).as("has3"),
-          aggregate(col("pks"), lit(0L), (a, x) => a + x).as("sum_pk"),
+          col("sum_pk"),
           concat_ws(",", col("lns")).as("lns_str"))
-        .orderBy("l_orderkey")),
+        .orderBy("l_orderkey")
+    }),
 
     // B19: string/regex functions (reference column-name pairing, HD.py:292-298).
     "b19_strings" -> ((s, d) =>

@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
+    graft.JvmCheck.warnIfModulesClosed()
     // f"...%.3f" is default-locale-sensitive; a comma decimal separator
     // would silently corrupt the machine-parsed JSON lines below
     java.util.Locale.setDefault(java.util.Locale.ROOT)
