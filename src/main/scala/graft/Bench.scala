@@ -79,13 +79,37 @@ object Bench {
       if (only.isDefined) 0.0
       else {
         val t0 = System.nanoTime()
+        // The seven builds are independent (each materializes a different cache
+        // entry — see prewarmStages' concurrency contract), so they run
+        // CONCURRENTLY: submitting independent jobs from multiple driver
+        // threads is the supported Spark way to pipeline them, and serially
+        // each small-sf build drained the local[32] scheduler on a handful of
+        // tasks (r9 cache_build 9.8 s at sf0.1; the longest single build is
+        // ~3 s). On a cluster the same shape holds — independent DAGs
+        // interleave instead of queueing. Per-stage failures stay tolerated
+        // exactly as before: the first query touching that cache absorbs the
+        // build (or its error) and the bench row says so.
+        val stages =
+          try {
+            graft.queries.Hierarchy.prewarmStages(spark, sfDir) ++
+              graft.queries.TextOps.prewarmStages(spark, sfDir) ++
+              graft.queries.VectorOps.prewarmStages(spark, sfDir)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] cache prewarm setup failed: ${e.getMessage}")
+            Seq.empty
+          }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, stages.length))
         try {
-          graft.queries.Hierarchy.prewarm(spark, sfDir)
-          graft.queries.TextOps.prewarm(spark, sfDir)
-          graft.queries.VectorOps.prewarm(spark, sfDir)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] cache prewarm failed: ${e.getMessage}")
-        }
+          stages.map { case (name, thunk) =>
+            pool.submit(new Runnable {
+              def run(): Unit =
+                try thunk()
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] cache prewarm '$name' failed: ${e.getMessage}")
+                }
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
         (System.nanoTime() - t0) / 1e9
       }
     // SPARK_GRAFT_RUNS=n (default 1): time each query n times and report the MEDIAN —

@@ -37,10 +37,29 @@ object Components {
     if (sys.env.get("SPARK_GRAFT_COMPONENTS_LOG").contains("1"))
       println(s"COMPONENTS $msg")
 
+  /** Below this many SYMMETRIC edge rows (2× undirected edges) the pair
+    * retirement prepass costs more than it saves: its degree aggregation,
+    * self-join, and anti-join are three fixed shuffle+checkpoint jobs
+    * (~1.5 s of scheduler floor at local[32]) while the loop they shrink
+    * converges in 2–3 sub-second rounds anyway at that size. The measured
+    * trade (SCALECHECK.md): sf0.1 regressed 2.25 → 3.74 s with retirement
+    * always-on (~1.2k sym rows), sf1 was neutral (~12k), sf10 won 2×
+    * (~120k). 50k sits in the decade gap between the neutral and the
+    * winning point, so both measured regimes land on their proven-better
+    * branch. The gate reads the count of the ALREADY-checkpointed frame —
+    * one cheap job over pinned partitions, no extra lineage at any scale.
+    */
+  private[queries] val RetireMinSymRows = 50000L
+
   /** (id, cluster) for every node in `edges`, cluster = min node id reachable.
     * `edges` columns: id_a, id_b (one row per undirected edge, either order).
+    *
+    * `retirePairs`: force the isolated-pair retirement prepass on/off; None
+    * (production) gates it on [[RetireMinSymRows]]. Both branches are exact —
+    * ComponentsSpec pins label-for-label equality on a mixed-shape graph.
     */
-  def minLabelComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def minLabelComponents(edges: DataFrame, maxRounds: Int = 50,
+      retirePairs: Option[Boolean] = None): DataFrame = {
     val t0 = System.nanoTime()
     val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -53,21 +72,31 @@ object Components {
     // degree aggregation plus a self-join of the degree-1 slice, and shrinks
     // the iterative loop's input to the chain/star residue — each LOOP round
     // costs two joins + an aggregation over every remaining node, so removing
-    // the pair mass from ALL rounds dwarfs the one-time degree scan.
-    val deg1 = sym.groupBy("u").agg(countDistinct("v").as("dg"), min("v").as("nb"))
-      .filter(col("dg") === 1).select(col("u"), col("nb"))
-      .localCheckpoint() // read twice (both sides of the self-join) + anti-join
-    val pairLabels = deg1.alias("a")
-      .join(deg1.alias("b"), col("a.nb") === col("b.u") && col("b.nb") === col("a.u"))
-      .select(col("a.u").as("id"), least(col("a.u"), col("a.nb")).as("lbl"))
-      .localCheckpoint()
-    // a retired node's edges all lead to its retired partner, so dropping every
-    // sym row whose u is retired removes exactly the retired components' edges
-    val residual = sym
-      .join(pairLabels.select(col("id").as("u")), Seq("u"), "left_anti")
-      .localCheckpoint()
-    logLine(f"stage=retire_pairs pairs_nodes=${pairLabels.count()} " +
-      f"residual_edges=${residual.count()} sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    // the pair mass from ALL rounds dwarfs the one-time degree scan — once the
+    // graph is big enough that rounds dominate the prepass's fixed job floor
+    // ([[RetireMinSymRows]]); below that the prepass is skipped outright.
+    val doRetire = retirePairs.getOrElse(sym.count() >= RetireMinSymRows)
+    val (pairLabels, residual) = if (!doRetire) {
+      logLine(f"stage=retire_pairs skipped=true sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      // empty, typed off sym so the final union matches the loop's id type
+      (sym.limit(0).select(col("u").as("id"), col("u").as("lbl")), sym)
+    } else {
+      val deg1 = sym.groupBy("u").agg(countDistinct("v").as("dg"), min("v").as("nb"))
+        .filter(col("dg") === 1).select(col("u"), col("nb"))
+        .localCheckpoint() // read twice (both sides of the self-join) + anti-join
+      val pl = deg1.alias("a")
+        .join(deg1.alias("b"), col("a.nb") === col("b.u") && col("b.nb") === col("a.u"))
+        .select(col("a.u").as("id"), least(col("a.u"), col("a.nb")).as("lbl"))
+        .localCheckpoint()
+      // a retired node's edges all lead to its retired partner, so dropping every
+      // sym row whose u is retired removes exactly the retired components' edges
+      val res = sym
+        .join(pl.select(col("id").as("u")), Seq("u"), "left_anti")
+        .localCheckpoint()
+      logLine(f"stage=retire_pairs pairs_nodes=${pl.count()} " +
+        f"residual_edges=${res.count()} sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      (pl, res)
+    }
     var labels = residual.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     var changed = 1L

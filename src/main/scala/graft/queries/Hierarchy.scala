@@ -42,7 +42,11 @@ object Hierarchy {
     * attribute to plans, not to whichever query touches the cache first.
     */
   def prewarm(s: SparkSession, d: String): Unit =
-    nodesCached(s, d).count()
+    prewarmStages(s, d).foreach(_._2())
+
+  /** Independent prewarm stages (see TextOps.prewarmStages for the contract). */
+  def prewarmStages(s: SparkSession, d: String): Seq[(String, () => Unit)] =
+    Seq("hierarchy-nodes" -> (() => { nodesCached(s, d).count(); () }))
 
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
   def clearCaches(): Unit = {

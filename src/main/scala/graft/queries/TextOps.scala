@@ -174,14 +174,27 @@ object TextOps {
     * that DO serve (bands/simhash/decontam share the same pool — the eviction
     * churn SCALECHECK.md's d10 section measures).
     */
-  def prewarm(s: SparkSession, d: String): Unit = {
-    bandsCached(s, d).count()
-    simhashCached(s, d).count()
-    val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
-    if (fp >= 0 && fp < CachedVerifyMaxDocBytes)
-      distinctShinglesCached(s, d).count()
-    decontamShinglesCached(s, d).count()
-  }
+  def prewarm(s: SparkSession, d: String): Unit =
+    prewarmStages(s, d).foreach(_._2())
+
+  /** The prewarm builds as independent (name, thunk) stages. Each thunk
+    * materializes a DIFFERENT cache map's (session, dir) entry, so the stages
+    * are safe to run concurrently (Bench does): no two touch the same TrieMap
+    * key, and concurrent Spark actions from multiple driver threads are the
+    * supported way to pipeline independent jobs — at local[32] on small sf the
+    * serial form drains the scheduler once per build, which round 10 measured
+    * as most of the bench's cache_build line.
+    */
+  def prewarmStages(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "text-bands" -> (() => { bandsCached(s, d).count(); () }),
+    "text-simhash" -> (() => { simhashCached(s, d).count(); () }),
+    "text-shingles" -> (() => {
+      val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
+      if (fp >= 0 && fp < CachedVerifyMaxDocBytes) {
+        distinctShinglesCached(s, d).count(); ()
+      }
+    }),
+    "text-decontam" -> (() => { decontamShinglesCached(s, d).count(); () }))
 
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
   def clearCaches(): Unit = {

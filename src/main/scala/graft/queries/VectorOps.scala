@@ -63,10 +63,20 @@ object VectorOps {
     * per-query timings attribute to probing, not to whichever ANN query first
     * trains the quantizer.
     */
-  def prewarm(s: SparkSession, d: String): Unit = {
+  def prewarm(s: SparkSession, d: String): Unit =
+    prewarmStages(s, d).foreach(_._2())
+
+  /** Independent prewarm stages (see TextOps.prewarmStages for the contract):
+    * the two IVF configs key different cache entries, so they are concurrency-
+    * safe. `vec_dot` registration is driver-only, idempotent, and cheap — it
+    * runs at stage-LIST construction so it is in place regardless of which
+    * stage executes first on which thread.
+    */
+  def prewarmStages(s: SparkSession, d: String): Seq[(String, () => Unit)] = {
     graft.functions.VecDot.register(s)
-    ivfAssignCached(s, d, 16, 0).count()
-    ivfAssignCached(s, d, 16, 1).count()
+    Seq(
+      "ivf-16-0" -> (() => { ivfAssignCached(s, d, 16, 0).count(); () }),
+      "ivf-16-1" -> (() => { ivfAssignCached(s, d, 16, 1).count(); () }))
   }
 
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */

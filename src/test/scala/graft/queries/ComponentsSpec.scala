@@ -31,19 +31,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.forall(_._2 === 0L))
   }
 
+  // mixes every retirement case: pure pairs (duplicate-edge pair too), a
+  // degree-1 node whose neighbor is NOT degree-1 (must stay in the loop),
+  // and a triangle. The pair fast path must change labels for none of them.
+  private val mixedEdges = Seq(
+    100L -> 200L,              // pair -> retired
+    7L -> 3L, 3L -> 7L,        // pair via duplicate opposite-order edges
+    1L -> 2L, 2L -> 4L,        // chain: 1 and 4 are degree-1 but 2 is not
+    50L -> 60L, 60L -> 70L, 70L -> 50L) // triangle
+  private val mixedExpected = Map(
+    100L -> 100L, 200L -> 100L, 3L -> 3L, 7L -> 3L,
+    1L -> 1L, 2L -> 1L, 4L -> 1L, 50L -> 50L, 60L -> 50L, 70L -> 50L)
+
   test("pair components retire early but merge correctly with loop-resolved ones") {
-    // mixes every retirement case: pure pairs (duplicate-edge pair too), a
-    // degree-1 node whose neighbor is NOT degree-1 (must stay in the loop),
-    // and a triangle. The pair fast path must change labels for none of them.
-    val out = Components.minLabelComponents(edgesDf(
-        100L -> 200L,              // pair -> retired
-        7L -> 3L, 3L -> 7L,        // pair via duplicate opposite-order edges
-        1L -> 2L, 2L -> 4L,        // chain: 1 and 4 are degree-1 but 2 is not
-        50L -> 60L, 60L -> 70L, 70L -> 50L)) // triangle
+    // retirePairs forced ON: the RetireMinSymRows auto-gate would skip the
+    // prepass at this size, and the retirement code must stay covered
+    val out = Components.minLabelComponents(edgesDf(mixedEdges: _*),
+        retirePairs = Some(true))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out === Map(
-      100L -> 100L, 200L -> 100L, 3L -> 3L, 7L -> 3L,
-      1L -> 1L, 2L -> 1L, 4L -> 1L, 50L -> 50L, 60L -> 50L, 70L -> 50L))
+    assert(out === mixedExpected)
+  }
+
+  test("retirement gate: both branches produce identical labels") {
+    // the production path gates on sym-row count (skip below RetireMinSymRows);
+    // this pins that the gate can only ever pick between two EQUAL answers
+    val skip = Components.minLabelComponents(edgesDf(mixedEdges: _*),
+        retirePairs = Some(false))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skip === mixedExpected)
   }
 
   test("d09 clusters equal a driver-side union-find of the verified edges") {
