@@ -61,8 +61,15 @@ object Components {
   def minLabelComponents(edges: DataFrame, maxRounds: Int = 50,
       retirePairs: Option[Boolean] = None): DataFrame = {
     val t0 = System.nanoTime()
-    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+    // Pin the DIRECTED edge frame before symmetrizing: the union's two branches
+    // are separate physical subtrees, so without this the upstream edge plan —
+    // in the dedup pipeline a full candidate-verification (band join + Jaccard
+    // counts) — executes TWICE to build `sym` (measured at sf0.1: the sym
+    // checkpoint was ~2.3 s of a ~6 s d09, double its upstream's one-shot
+    // cost). One checkpoint makes both branches read pinned partitions.
+    val e0 = edges.localCheckpoint()
+    val sym = e0.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(e0.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint() // the edge frame is reused every round; pin it once
     // EARLY RETIREMENT of isolated-edge components: in a real near-dup corpus
     // the overwhelming majority of clusters are PAIRS (one duplicated doc). A
