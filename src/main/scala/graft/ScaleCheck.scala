@@ -69,8 +69,34 @@ object ScaleCheck {
     if ((h & 1L) == 1L) -1f else 1f
   }
 
-  /** Write `reps` deterministic replicas of every sf table from `src` into `dst`. */
-  def synthesize(s: SparkSession, src: String, dst: String, reps: Int): Unit = {
+  /** Every table the driver ships — the default synthesis set. */
+  val AllTables: Set[String] = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Write `reps` deterministic replicas of the sf tables from `src` into `dst`.
+    *
+    * `tables` restricts which tables are written (default: all) — the fifth
+    * decade (sf1000, round 10) only fits on disk for documents + embeddings, so
+    * the corpus tables synthesize alone and the relational family's scale story
+    * stays pinned at sf100.
+    *
+    * `repOffset` shifts the SEEDS of the per-replica content transforms (the
+    * document cipher and the embedding rotation/sign mixer) without shifting the
+    * id strides. It exists for COMPOSED synthesis — building sf1000 as 10
+    * replicas of the already-synthesized sf100 — where a zero offset would
+    * manufacture systematic exact twins: sf100's replica x (cipher c_x, applied
+    * first) re-emitted untouched by sf1000's replica 0 collides with sf100's
+    * replica 0 (untouched source) transformed by sf1000's replica x (the same
+    * c_x, applied second) — ~reps_outer × reps_inner-¹ of all cross pairs, i.e.
+    * one twin per source doc per shared seed. Offsetting the outer run's seeds
+    * past the inner run's range (e.g. 1000) makes every composed transform
+    * c_{1000+j}∘c_r distinct from every single-level c_x by seed disjointness,
+    * and the composition of two letter-bijections fixing {t,h,e,a} (resp. two
+    * signed rotations) is again one, so every invariant the single-level
+    * argument relies on survives composition unchanged.
+    */
+  def synthesize(s: SparkSession, src: String, dst: String, reps: Int,
+      tables: Set[String] = AllTables, repOffset: Int = 0): Unit = {
     import s.implicits._
     // events.ts has shipped as ns-epoch longs and as timestamp[us] across
     // testdata generations (see Tables.events); read raw (legacy conf keeps a
@@ -87,25 +113,37 @@ object ScaleCheck {
         offs.foldLeft(df) { case (d, (c, st)) => d.withColumn(c, col(c) + lit(st * r)) }
       }.reduce(_ unionByName _)
 
+    val unknown = tables.diff(AllTables)
+    require(unknown.isEmpty, s"unknown synthesis tables: ${unknown.mkString(",")}")
+    def want(n: String): Boolean = tables(n)
+
     // dimensions stay fixed (as in TPC-H: region/nation don't scale)
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
+    if (want("region")) wr(rd("region"), "region")
+    if (want("nation")) wr(rd("nation"), "nation")
 
-    val cust = rd("customer"); val stC = stride(cust, "c_custkey")
-    val supp = rd("supplier"); val stS = stride(supp, "s_suppkey")
-    val part = rd("part"); val stP = stride(part, "p_partkey")
-    val ord = rd("orders"); val stO = stride(ord, "o_orderkey")
-    wr(repl(cust, "c_custkey" -> stC), "customer")
-    wr(repl(supp, "s_suppkey" -> stS), "supplier")
-    wr(repl(part, "p_partkey" -> stP), "part")
-    wr(repl(ord, "o_orderkey" -> stO, "o_custkey" -> stC), "orders")
-    wr(repl(rd("lineitem"),
-      "l_orderkey" -> stO, "l_partkey" -> stP, "l_suppkey" -> stS), "lineitem")
+    // the relational family shares key strides (orders offsets by customer's,
+    // lineitem by orders/part/supplier's), so the parent reads happen whenever
+    // any member is wanted — reading an unwritten parent costs one max() scan
+    if (Seq("customer", "supplier", "part", "orders", "lineitem").exists(want)) {
+      val cust = rd("customer"); val stC = stride(cust, "c_custkey")
+      val supp = rd("supplier"); val stS = stride(supp, "s_suppkey")
+      val part = rd("part"); val stP = stride(part, "p_partkey")
+      val ord = rd("orders"); val stO = stride(ord, "o_orderkey")
+      if (want("customer")) wr(repl(cust, "c_custkey" -> stC), "customer")
+      if (want("supplier")) wr(repl(supp, "s_suppkey" -> stS), "supplier")
+      if (want("part")) wr(repl(part, "p_partkey" -> stP), "part")
+      if (want("orders")) wr(repl(ord, "o_orderkey" -> stO, "o_custkey" -> stC), "orders")
+      if (want("lineitem")) wr(repl(rd("lineitem"),
+        "l_orderkey" -> stO, "l_partkey" -> stP, "l_suppkey" -> stS), "lineitem")
+    }
 
-    val ev = rd("events")
-    wr(repl(ev, "event_id" -> stride(ev, "event_id"), "user_id" -> stride(ev, "user_id")),
-      "events")
+    if (want("events")) {
+      val ev = rd("events")
+      wr(repl(ev, "event_id" -> stride(ev, "event_id"), "user_id" -> stride(ev, "user_id")),
+        "events")
+    }
 
+    if (want("documents")) {
     val docs = rd("documents"); val stD = stride(docs, "doc_id")
     // Replica transform: a per-replica letter-substitution cipher FIXING the
     // letters {t,h,e,a}. Because the cipher is a bijection on letters, word
@@ -133,7 +171,8 @@ object ScaleCheck {
       val m = movable.zip(shuffled).toMap
       alphabet.map(c => if (fixedPts(c)) c else m(c))
     }
-    val ciphers = (1 until reps).map(cipherTo)
+    // seeds shift by repOffset (composed synthesis), id strides do not
+    val ciphers = (1 until reps).map(r => cipherTo(repOffset + r))
     require(ciphers.distinct.size == ciphers.size && !ciphers.contains(alphabet),
       "replica ciphers must be pairwise distinct and non-identity")
     wr((0 until reps).map { r =>
@@ -142,20 +181,24 @@ object ScaleCheck {
         .withColumn("doc_id", col("doc_id") + lit(stD * r))
         .withColumn("text", translate(col("text"), alphabet, ciphers(r - 1)))
     }.reduce(_ unionByName _), "documents")
+    }
 
+    if (want("embeddings")) {
     val emb = rd("embeddings").as[EmbRow]
     val stV = stride(emb.toDF(), "vec_id")
     wr((0 until reps).map { r =>
       if (r == 0) emb.toDF()
       else {
         val rr = r
+        val rSeed = repOffset + r
         emb.map { e =>
           val n = e.embedding.length
-          val y = Array.tabulate(n)(i => sign(rr, i) * e.embedding((i + rr) % n))
+          val y = Array.tabulate(n)(i => sign(rSeed, i) * e.embedding((i + rSeed) % n))
           EmbRow(e.vec_id + stV * rr, y, e.label)
         }.toDF()
       }
     }.reduce(_ unionByName _), "embeddings")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -166,6 +209,20 @@ object ScaleCheck {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    // Fifth-decade knobs (round 10): SPARK_GRAFT_SCALE_SRC composes synthesis
+    // on top of an earlier run's output (default: the driver's sf0.1),
+    // SPARK_GRAFT_SCALE_TABLES restricts which tables are written (csv;
+    // sf1000 only fits on disk for documents,embeddings), and
+    // SPARK_GRAFT_SCALE_REP_OFFSET shifts the content-transform seeds so a
+    // composed run never reuses the inner run's ciphers (see [[synthesize]]).
+    // All three default to the historical behavior, and all three stamp the
+    // _SYNTH_DONE marker when non-default so a dir built one way is never
+    // silently measured as another.
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", s"$base/sf0.1")
+    val synthTables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(AllTables)
+    val repOffset = sys.env.getOrElse("SPARK_GRAFT_SCALE_REP_OFFSET", "0").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -181,8 +238,13 @@ object ScaleCheck {
     // wrong corpus — the stale-marker variant of a silent cap.
     val marker = new java.io.File(dst, "_SYNTH_DONE")
     // v3 (round 9): embeddings' sign mixer became non-separable (see [[sign]]);
-    // documents' cipher is unchanged from v2
-    val synthStamp = s"scheme=cipher-v3 reps=$reps"
+    // documents' cipher is unchanged from v2. Non-default src/tables/offset
+    // append to the stamp, so every existing full-synthesis marker stays valid
+    // byte-for-byte while a composed/subset dir can never pass for a full one.
+    val synthStamp = s"scheme=cipher-v3 reps=$reps" +
+      (if (srcDir == s"$base/sf0.1") "" else s" src=$srcDir") +
+      (if (synthTables == AllTables) "" else s" tables=${synthTables.toSeq.sorted.mkString(",")}") +
+      (if (repOffset == 0) "" else s" offset=$repOffset")
     val stampOk = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim == synthStamp
     if (!stampOk) {
@@ -212,7 +274,7 @@ object ScaleCheck {
       java.nio.file.Files.createDirectories(new java.io.File(dst).toPath)
       java.nio.file.Files.write(marker.toPath, s"$synthStamp IN-PROGRESS".getBytes("UTF-8"))
       val t0 = System.nanoTime()
-      synthesize(spark, s"$base/sf0.1", dst, reps)
+      synthesize(spark, srcDir, dst, reps, synthTables, repOffset)
       println(f"""SCALECHECK {"step":"synthesize","reps":$reps,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
       java.nio.file.Files.write(marker.toPath, synthStamp.getBytes("UTF-8"))
     }
@@ -270,15 +332,29 @@ object ScaleCheck {
             f""""reason":"quadratic regime: 2x2^12 buckets vs $vecs vecs","predicted_pairs":$predicted%.3g}""")
           None
         }
-      // the widened-band variants: +4 bits per decade is the documented rule, so
-      // measure BOTH the next decade's width (16-bit) and the one after (20-bit)
-      // at every SF — three points pin the rule, not one
-      val (d08w, tD08w) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 16).count())
-      val (d08w2, tD08w2) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 20).count())
-      // 24-bit: the rule's prescribed width for the FOURTH decade (sf100, 2M
-      // vectors) — measured at every SF like 16/20 so the diagonal has a
-      // measured point per decade instead of an extrapolated last row
-      val (d08w3, tD08w3) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = 24).count())
+      // the widened-band variants: +4 bits per decade is the documented rule,
+      // measured at 16/20/24/28 bits at every SF so the diagonal has a measured
+      // point per decade (28-bit is the fifth decade's prescribed width, r10).
+      // Each width cell carries its own quadratic-regime skip: the random term
+      // is ~N²/2^bits (2 bands × N²/2 per-band collisions), and once the
+      // prediction passes ~1.5e9 the distinct() behind the count is the same
+      // memory wall the 12-bit cell hit at sf100 — the prediction is printed
+      // and the JSON carries nulls (never silent caps). At sf1000 this skips
+      // exactly one cell (16-bit: 20M vecs → ~6e9 predicted); every previously
+      // recorded decade measures every cell as before.
+      def widthCell(tag: String, bits: Int): String = {
+        val predicted = vecs.toDouble * vecs / math.pow(2.0, bits)
+        if (predicted > 1.5e9) {
+          println(f"""SCALECHECK {"step":"candidates_skip","sf":"$sf","what":"d08_${bits}bit",""" +
+            f""""reason":"quadratic regime: 2x2^$bits buckets vs $vecs vecs","predicted_pairs":$predicted%.3g}""")
+          s""""${tag}_pairs":null,"${tag}_per_vec":null,"${tag}_sec":null,"""
+        } else {
+          val (n, t) = timed(graft.queries.VectorOps.embedCandidatePairs(emb, bits = bits).count())
+          f""""${tag}_pairs":$n,"${tag}_per_vec":${n.toDouble / vecs}%.4f,"${tag}_sec":$t%.1f,"""
+        }
+      }
+      val widthJson = widthCell("d08w16", 16) + widthCell("d08w20", 20) +
+        widthCell("d08w24", 24) + widthCell("d08w28", 28)
       // skipped 64-bit d07 → emit nulls, not -1 sentinels a metric parser could
       // aggregate; the candidates_skip line above carries the prediction
       val d07Json = d07Opt match {
@@ -295,10 +371,7 @@ object ScaleCheck {
         f""""d04_pairs":$d04,"d04_per_doc":${d04.toDouble / docs}%.4f,"d04_sec":$tD04%.1f,""" +
         d07Json +
         f""""d07w128_pairs":$d07w,"d07w128_per_doc":${d07w.toDouble / docs}%.4f,"d07w128_sec":$tD07w%.1f,""" +
-        d08Json +
-        f""""d08w16_pairs":$d08w,"d08w16_per_vec":${d08w.toDouble / vecs}%.4f,"d08w16_sec":$tD08w%.1f,""" +
-        f""""d08w20_pairs":$d08w2,"d08w20_per_vec":${d08w2.toDouble / vecs}%.4f,"d08w20_sec":$tD08w2%.1f,""" +
-        f""""d08w24_pairs":$d08w3,"d08w24_per_vec":${d08w3.toDouble / vecs}%.4f,"d08w24_sec":$tD08w3%.1f}""")
+        d08Json + widthJson.dropRight(1) + "}")
       graft.Caches.clearAll()
     }
 
