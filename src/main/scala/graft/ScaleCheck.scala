@@ -287,7 +287,7 @@ object ScaleCheck {
     // re-measurement tool. Unknown names fail loudly: a typo would otherwise
     // run ZERO steps and exit 0, an empty measurement indistinguishable from a
     // filtered one (the file's own no-silent-caps principle).
-    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted")
+    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue")
     val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").map(_.trim).toSet)
     onlySteps.foreach { s =>
       val unknown = s.diff(knownSteps)
@@ -372,6 +372,32 @@ object ScaleCheck {
         d07Json +
         f""""d07w128_pairs":$d07w,"d07w128_per_doc":${d07w.toDouble / docs}%.4f,"d07w128_sec":$tD07w%.1f,""" +
         d08Json + widthJson.dropRight(1) + "}")
+      graft.Caches.clearAll()
+    }
+
+    if (stepOn("residue"))
+    // Attribution probe for the d04 growth curve (round 10): split the MinHash
+    // candidate pairs of `dst` into SAME-replica pairs (true near-dup structure,
+    // which replicates exactly and must stay linear in docs) and CROSS-replica
+    // pairs (the cipher's fixed-point residue — digits and {t,h,e,a}-spelled
+    // words are invariant under EVERY replica cipher, so a fixed-point-heavy
+    // doc collides with counterparts in OTHER replicas; per doc that collision
+    // count grows ~linearly with the replica count, which is what bent d04's
+    // per-doc ratio at sf1000's 10,000 composite replicas). Replica index =
+    // doc_id / mod: ids are dense 0-based per source corpus, and every
+    // synthesis stride is a multiple of the source size.
+    {
+      val mod = sys.env.getOrElse("SPARK_GRAFT_RESIDUE_MOD", "5000").toLong
+      val docs = graft.queries.Tables.documents(spark, dst).count()
+      val ((same, cross), sec) = timed {
+        val m = graft.queries.TextOps.candidatePairs(spark, dst)
+          .groupBy(((col("id_a") / mod).cast("long") === (col("id_b") / mod).cast("long")).as("same"))
+          .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        (m.getOrElse(true, 0L), m.getOrElse(false, 0L))
+      }
+      println(f"""SCALECHECK {"step":"residue","sf":"$dstName","mod":$mod,"docs":$docs,""" +
+        f""""same_replica_pairs":$same,"same_per_doc":${same.toDouble / docs}%.4f,""" +
+        f""""cross_replica_pairs":$cross,"cross_per_doc":${cross.toDouble / docs}%.4f,"sec":$sec%.1f}""")
       graft.Caches.clearAll()
     }
 
