@@ -44,8 +44,22 @@ object TextOps {
     * whose only reader was this distinct's build scan; dropping it halves the
     * text-side cache footprint and the explode it saves is scan-local).
     */
+  /** The Jaccard verify compares shingles only by EQUALITY, never by content,
+    * so the verify path carries xxhash64(shingle) instead of the ~18-char
+    * string: the distinct and both intersection-join exchanges shrink ~2.5×
+    * (fixed 16-byte rows), which is what let the fifth-decade verify fit this
+    * box's scratch disk (round 10 — the string form ran out of shuffle space
+    * at 50M docs). The tolerated error is a WITHIN-DOC 64-bit collision
+    * merging two of a doc's ~50 shingles (~2^-54 per corpus at sf1000, zero in
+    * practice); bands/minhash still consume the true strings, and the DuckDB
+    * oracles compare the i/ca/cb COUNTS, which hashing leaves bit-identical
+    * absent a collision.
+    */
+  private def hashedShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   private def distinctShinglesCached(s: SparkSession, d: String): DataFrame =
-    distinctShinglesCache.getOrElseUpdate((s, d), shingles(s, d).distinct().cache())
+    distinctShinglesCache.getOrElseUpdate((s, d), hashedShingles(shingles(s, d)).distinct().cache())
 
   /** d11's probe frame: distinct word-3-gram shingles over NORMALIZED text —
     * lowercase + punctuation-strip (t03's normalization) applied BEFORE
@@ -305,7 +319,16 @@ object TextOps {
     val cand = cand0.localCheckpoint()
     val ids = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    val vsh = shingles(s, d).join(ids, Seq("doc_id"), "left_semi").distinct()
+    // Restrict the DOCUMENT frame before the shingle explode, never after: the
+    // explode multiplies rows ~50× (one per 3-gram), so a post-explode
+    // semi-join exchanges every shingle of every doc just to drop most of
+    // them — at sf1000 that is a ~2.6B-row / tens-of-GB shuffle write that
+    // exhausted this box's scratch disk (the fifth decade's one measurement
+    // casualty, round 10). Joining the ~300-byte doc rows first keeps the
+    // exchange at corpus width and the explode runs scan-local on the
+    // candidate subset only. Same rows by construction; the gate spec pins it.
+    val vsh = hashedShingles(shinglesOf(documents(s, d).join(ids, Seq("doc_id"), "left_semi")))
+      .distinct()
     jaccardCountsFrom(cand, vsh)
   }
 
