@@ -33,6 +33,17 @@ object TextOps {
   private val distinctShinglesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The band frame caches UNCONDITIONALLY — deliberately unlike the
+    * distinct-shingle frame's footprint gate, and the difference is measured,
+    * not assumed (r10 fifth-decade A/B): gating the cache off above 256 MB
+    * made d09 at 50M docs 63% SLOWER (1092.9 vs 670.5 s) even though it cut
+    * peak scratch disk from ~50 to ~7 GB. The frames differ in both
+    * dimensions that matter: bands are 8 fixed-width rows/doc consumed TWICE
+    * per query (the candidate self-join, whose two projections defeat
+    * exchange reuse), so a disk-spilled cache block still beats two full
+    * minhash+explode recomputes; shingles are ~50 string rows/doc with one
+    * consumer, so their spilled cache was pure eviction churn.
+    */
   private def bandsCached(s: SparkSession, d: String): DataFrame =
     bandsCache.getOrElseUpdate((s, d), bands(s, d).cache())
 
