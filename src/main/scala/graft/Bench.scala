@@ -75,6 +75,12 @@ object Bench {
     // 32 s and d06 at 82 s of what was really shared cache construction). Skipped
     // when isolating queries with SPARK_GRAFT_ONLY so cold-plan profiling stays
     // possible.
+    // Per-stage build walls (serial-equivalent cost): since r10 the builds run
+    // CONCURRENTLY, so the cache_build line item is concurrent wall-clock and
+    // not comparable to rounds ≤9 (which measured the serial sum). The
+    // per-stage map keeps both readings available: sum the values for the
+    // serial-equivalent figure, read cache_build for the wall.
+    val stageTimes = scala.collection.concurrent.TrieMap.empty[String, Double]
     val cacheBuild: Double =
       if (only.isDefined) 0.0
       else {
@@ -94,7 +100,7 @@ object Bench {
             graft.queries.Hierarchy.prewarmStages(spark, sfDir) ++
               graft.queries.TextOps.prewarmStages(spark, sfDir) ++
               graft.queries.VectorOps.prewarmStages(spark, sfDir)
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] cache prewarm setup failed: ${e.getMessage}")
             Seq.empty
           }
@@ -103,8 +109,19 @@ object Bench {
           stages.map { case (name, thunk) =>
             pool.submit(new Runnable {
               def run(): Unit =
-                try thunk()
-                catch { case e: Throwable =>
+                try {
+                  val s0 = System.nanoTime()
+                  thunk()
+                  stageTimes.put(name, (System.nanoTime() - s0) / 1e9); ()
+                }
+                // NonFatal only: a per-stage Spark failure is tolerated (the
+                // first query touching that cache absorbs the build or its
+                // error), but an OutOfMemoryError/VM error here poisons the
+                // whole JVM — letting the bench continue would emit garbage
+                // per-query timings instead of failing, and the concurrent
+                // prewarm (up to 7 memory-hungry builds at once) makes fatal
+                // errors in this exact block likelier than the old serial form.
+                catch { case scala.util.control.NonFatal(e) =>
                   System.err.println(s"[bench] cache prewarm '$name' failed: ${e.getMessage}")
                 }
             })
@@ -181,7 +198,9 @@ object Bench {
     val midJson = mids.reverse
       .map { case (n, t) => s"\"${esc(n)}\":$t" }.mkString("{", ",", "}")
     val samplesJson = calibrationSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}""")
+    val stagesJson = stageTimes.toSeq.sortBy(_._1)
+      .map { case (n, t) => f"\"${esc(n)}\":$t%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}""")
     // Truncation-proof SUMMARY, printed last: the r8 driver capture kept only
     // the tail of the big line, losing the total and 16 rows. A tail capture
     // that retains only the final line still gets the headline from this one.

@@ -98,6 +98,35 @@ object ScaleCheck {
   def synthesize(s: SparkSession, src: String, dst: String, reps: Int,
       tables: Set[String] = AllTables, repOffset: Int = 0): Unit = {
     import s.implicits._
+    // Composed synthesis (src is itself a synthesized dir, detectable by its
+    // _SYNTH_DONE marker): the seed-disjointness argument above only holds if
+    // THIS run's seed range starts past the source's. The source's transform
+    // seeds span (src_offset, src_offset + src_reps), so require
+    // repOffset >= src_offset + src_reps — a smaller offset (or two composed
+    // runs over overlapping ranges) silently reintroduces the exact-twin
+    // artifact the offset exists to prevent, at one phantom dup pair per
+    // source doc per shared seed (round-10 advice; the original 45,000-pair
+    // closed form is in SCALECHECK.md's fifth-decade section).
+    val srcMarker = new java.io.File(src, "_SYNTH_DONE")
+    if (srcMarker.exists()) {
+      val stamp = new String(
+        java.nio.file.Files.readAllBytes(srcMarker.toPath), "UTF-8")
+      def field(k: String, dflt: Int): Int =
+        s"""$k=(\\d+)""".r.findFirstMatchIn(stamp).map(_.group(1).toInt).getOrElse(dflt)
+      require(!stamp.contains("IN-PROGRESS"),
+        s"composed synthesis: $src is marked IN-PROGRESS (half-written) — " +
+          "finish or rebuild the source first")
+      val srcSeedEnd = field("offset", 0) + field("reps", -1)
+      require(field("reps", -1) > 0,
+        s"composed synthesis: $src carries a _SYNTH_DONE marker without a " +
+          "parseable reps= field — cannot prove seed disjointness; rebuild the " +
+          "source or remove the marker if the dir is not synthesized")
+      require(repOffset >= srcSeedEnd,
+        s"composed synthesis: repOffset=$repOffset overlaps the source's seed " +
+          s"range [0, $srcSeedEnd) ($src stamp: ${stamp.trim}) — overlapping " +
+          "cipher seeds manufacture systematic exact-twin pairs; set " +
+          s"SPARK_GRAFT_SCALE_REP_OFFSET >= $srcSeedEnd")
+    }
     // events.ts has shipped as ns-epoch longs and as timestamp[us] across
     // testdata generations (see Tables.events); read raw (legacy conf keeps a
     // nanos column scannable) so the replica keeps the producer's physical
@@ -295,6 +324,14 @@ object ScaleCheck {
         s"unknown SPARK_GRAFT_STEPS ${unknown.mkString(",")}; known: ${knownSteps.toSeq.sorted.mkString(",")}")
     }
     def stepOn(name: String): Boolean = onlySteps.forall(_.contains(name))
+    // Opt-in steps are excluded from the default (unfiltered) run — they only
+    // fire when SPARK_GRAFT_STEPS names them. `residue` re-runs the full d04
+    // candidate self-join over dst (the suite's most expensive join at sf1000)
+    // purely to re-attribute a number the `candidates` step already measured —
+    // a default run would pay the biggest join twice for zero new information
+    // (round-10 advice).
+    def stepExplicit(name: String): Boolean =
+      onlySteps.exists(_.contains(name))
 
     if (stepOn("candidates"))
     for ((sf, dir) <- Seq("sf0.01" -> s"$base/sf0.01", "sf0.1" -> s"$base/sf0.1", dstName -> dst)) {
@@ -375,7 +412,7 @@ object ScaleCheck {
       graft.Caches.clearAll()
     }
 
-    if (stepOn("residue"))
+    if (stepExplicit("residue"))
     // Attribution probe for the d04 growth curve (round 10): split the MinHash
     // candidate pairs of `dst` into SAME-replica pairs (true near-dup structure,
     // which replicates exactly and must stay linear in docs) and CROSS-replica
@@ -555,34 +592,52 @@ object ScaleCheck {
     }
 
     if (stepOn("loadmany"))
-    // many-file loadMany: 50 copies of the reference fixture parsed in executor
-    // tasks — wall must be ≪ 50× the single-file load (per-file parallelism), and
-    // every per-db ratio aggregate must be identical across the 50 dbs (per-db
-    // ratio computations never leak across files).
+    // many-file loadMany at the reference's production shape (SURVEY A1): 64
+    // experiment XMLs — 32 variants of EACH fixture, cycling 8 renamed metric
+    // families per fixture (XmlFixtureSynth), so the union schema carries 16
+    // genuinely disjoint metric families (~16 × 24 metric columns + 16 × 2
+    // ratio columns) and the per-db percentage-base machinery runs 16 distinct
+    // ratio passes, not one. Checks: (1) wall ≪ 64× the single-file loads
+    // (executor-parallel parse); (2) the per-db ratio signature frame has
+    // EXACTLY 2 × families distinct rows — every db sharing a (source, family)
+    // reproduces identical ratio sums, and no family's values leak into
+    // another's columns; (3) each db's own ratio-of-total sum equals its
+    // source fixture's single-file value (the rename must not change any
+    // computed number).
     {
-      val fixture = "/root/reference/test/data/experiment1.xml"
-      if (new java.io.File(fixture).exists()) {
-        val many = 50
+      val fix1 = "/root/reference/test/data/experiment1.xml"
+      val fix2 = "/root/reference/test/data/experiment2.xml"
+      if (new java.io.File(fix1).exists() && new java.io.File(fix2).exists()) {
+        val perFixture = 32; val families = 8
         val tmp = java.nio.file.Files.createTempDirectory("graft-xmlmany")
-        val paths = (0 until many).map { i =>
-          val p = tmp.resolve(f"exp_$i%02d.xml")
-          java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), p)
-          p.toString
-        }
-        val (nSingle, secSingle) = timed(
-          graft.hpct.ProfileLoad.load(spark, fixture).df.count())
-        val ((rows, dbSigs), secMany) = timed {
+        val v1 = graft.hpct.XmlFixtureSynth.variants(fix1, tmp, perFixture, families, "exp1")
+        val v2 = graft.hpct.XmlFixtureSynth.variants(fix2, tmp, perFixture, families, "exp2")
+        val paths = (v1 ++ v2).map(_._1)
+        val (singles, secSingles) = timed(
+          Seq(fix1, fix2).map(f => graft.hpct.ProfileLoad.load(spark, f)))
+        val expSums = singles.map { pf =>
+          val c = s"${pf.meta.percentageColumn} ratio of total"
+          pf.df.agg(round(sum(col(s"`$c`")), 6)).head().getDouble(0)
+        }.toSet
+        val ((rows, unionCols, dbSigs, dbSums), secMany) = timed {
           val mpf = graft.hpct.ProfileLoad.loadMany(spark, paths)
           val ratioCols = mpf.df.columns.filter(_.endsWith("ratio of total")).toSeq
           val sigs = mpf.df.groupBy("db")
             .agg(count(lit(1)).as("n"),
               ratioCols.map(c => round(sum(col(s"`$c`")), 6).as(c)): _*)
             .drop("db").distinct().count()
-          (mpf.df.count(), sigs)
+          // per row, exactly the db's OWN family ratio is non-null — coalesce
+          // picks it, and the per-db sums must reproduce the single-file values
+          val sums = mpf.df.groupBy("db")
+            .agg(round(sum(coalesce(ratioCols.map(c => col(s"`$c`")): _*)), 6).as("rsum"))
+            .select("rsum").distinct().collect().map(_.getDouble(0)).toSet
+          (mpf.df.count(), mpf.df.columns.length, sigs, sums)
         }
-        println(f"""SCALECHECK {"step":"loadmany","files":$many,"rows":$rows,""" +
-          f""""single_rows":$nSingle,"single_sec":$secSingle%.1f,"many_sec":$secMany%.1f,""" +
-          f""""speedup_vs_serial":${many * secSingle / secMany}%.1f,"distinct_db_signatures":$dbSigs}""")
+        val serial = perFixture * secSingles
+        println(f"""SCALECHECK {"step":"loadmany","files":${paths.length},"families":${2 * families},""" +
+          f""""rows":$rows,"union_cols":$unionCols,"singles_sec":$secSingles%.1f,"many_sec":$secMany%.1f,""" +
+          f""""speedup_vs_serial":${serial / secMany}%.1f,"distinct_db_signatures":$dbSigs,""" +
+          f""""expected_signatures":${2 * families},"per_db_sums_match_singles":${dbSums == expSums}}""")
       }
     }
 

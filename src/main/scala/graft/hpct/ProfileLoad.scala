@@ -75,11 +75,16 @@ object ProfileLoad {
     }
     // Root fix is row-local (a conditional column rewrite at id = -1), so it needs no
     // db partitioning; the ratio columns DO — each file's rows divide by their own
-    // file's root / parent values, exactly as a single-file load would.
-    var out = rootFix(df)
+    // file's root / parent values, exactly as a single-file load would. ALL distinct
+    // percentage bases go through ONE multi-base pass: the per-base loop stacked one
+    // root join + one parent join per base, and at 64 files with 16 disjoint metric
+    // families (16 bases × a ~420-column union frame) the 32-join plan OOM'd an 8g
+    // driver in the optimizer (round-11 loadmany measurement); a study whose runs
+    // carry k metric families should pay 2 joins, not 2k.
     val baseByDb: Seq[(String, String)] = paths.zip(metas).map { case (p, m) => p -> m.percentageColumn }
-    for (base <- baseByDb.map(_._2).distinct)
-      out = addRatioColumnsPerDb(out, base, baseByDb.collect { case (p, b) if b == base => p }.toSet)
+    val bases = baseByDb.map(_._2).distinct.map(base =>
+      base -> baseByDb.collect { case (p, b) if b == base => p }.toSet)
+    val out = addRatioColumnsPerDbMulti(rootFix(df), bases)
     MultiProfileFrame(out, paths.zip(metas).toMap)
   }
 
@@ -189,26 +194,47 @@ object ProfileLoad {
     * ratios to the files whose percentage base is `base`; other files' rows get null
     * (their base column is null there anyway under the union schema).
     */
-  def addRatioColumnsPerDb(df: DataFrame, base: String, dbs: Set[String]): DataFrame = {
-    val totalName = s"$base ratio of total"
-    val parentName = s"$base ratio of parent"
-    val inScope = col("db").isin(dbs.toSeq: _*)
-    val roots = df.filter(col("id") === Model.RootId && inScope)
-      .select(col("db"), col(base).as("__root_total"))
-    val parents = df.filter(inScope)
-      .select(col("db"), col("callpath").as("__ppath"), col(base).as("__pval"))
+  def addRatioColumnsPerDb(df: DataFrame, base: String, dbs: Set[String]): DataFrame =
+    addRatioColumnsPerDbMulti(df, Seq(base -> dbs))
+
+  /** One-pass, many-base form of [[addRatioColumnsPerDb]]: every percentage
+    * base's ratio-of-total and ratio-of-parent columns from a SINGLE broadcast
+    * root join (one row per db, all bases' root values as columns) plus a
+    * SINGLE parent self-join on (db, parent path) carrying all bases' values.
+    * The per-base form stacks 2 joins per base over the full union frame —
+    * quadratic work in the number of metric families once the frame's width
+    * itself grows with the family count; at 16 families × ~420 columns the
+    * optimizer OOM'd an 8g driver (round-11 loadmany scale point). Out-of-scope
+    * dbs (files whose percentage base is a DIFFERENT name, yet share this
+    * base's metric name) stay null via the explicit scope mask, exactly as the
+    * per-base form's filtered join sides left them.
+    */
+  def addRatioColumnsPerDbMulti(df: DataFrame, bases: Seq[(String, Set[String])]): DataFrame = {
+    if (bases.isEmpty) return df
+    require(bases.map(_._1).distinct.length == bases.length,
+      s"duplicate percentage bases: ${bases.map(_._1).mkString(", ")}")
+    def q(c: String) = col(s"`$c`")
+    val roots = df.filter(col("id") === Model.RootId)
+      .select(col("db") +: bases.zipWithIndex.map { case ((b, _), i) =>
+        q(b).as(s"__root_$i") }: _*)
+    val parents = df
+      .select(col("db") +: col("callpath").as("__ppath") +:
+        bases.zipWithIndex.map { case ((b, _), i) => q(b).as(s"__pval_$i") }: _*)
     val joined = df
       .join(broadcast(roots), Seq("db"), "left")
       .withColumn("__ppath", slice(col("callpath"), lit(1), greatest(size(col("callpath")) - 1, lit(0))))
       .join(parents, Seq("db", "__ppath"), "left")
-      .withColumn(totalName, col(base) / col("__root_total"))
-      .withColumn(parentName, col(base) / col("__pval"))
-      .drop("__root_total", "__pval", "__ppath")
-    val ordered = df.columns.flatMap {
-      case c if c == base => Seq(c, parentName, totalName)
-      case c => Seq(c)
+    val newCols: Map[String, Seq[Column]] = bases.zipWithIndex.map { case ((b, dbs), i) =>
+      val inScope = col("db").isin(dbs.toSeq: _*)
+      b -> Seq(
+        when(inScope, q(b) / q(s"__pval_$i")).as(s"$b ratio of parent"),
+        when(inScope, q(b) / q(s"__root_$i")).as(s"$b ratio of total"))
+    }.toMap
+    val ordered: Seq[Column] = df.columns.toSeq.flatMap {
+      case c if newCols.contains(c) => q(c) +: newCols(c)
+      case c => Seq(q(c))
     }
-    joined.select(ordered.map(col).toSeq: _*)
+    joined.select(ordered: _*)
   }
 
   /** Public single-ratio column (reference `add_ratio_column`, HD.py:340-385): add

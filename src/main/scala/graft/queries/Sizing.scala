@@ -52,6 +52,22 @@ object Sizing {
     */
   val MaxPartitions: Int = 4096
 
+  /** Intermediate-to-input expansion of the shingle-exchange (pair-verify)
+    * family — d04/d05/d09/d10's MinHash bands + hashed-Jaccard verify and
+    * d11's decontam probe. Their dominant exchanges carry one fixed-width row
+    * PER TOKEN (the shingle explode: ~50 hashed shingles/doc at 16 bytes,
+    * live across the distinct plus both intersection-join sides), so the
+    * intermediate bytes scale with the UNCOMPRESSED token count, not the
+    * compressed input the base footprint rule sees. Measured at the fifth
+    * decade (round 10, SCALECHECK.md): the 11 GB corpus dir auto-sized to 344
+    * and d09's verify OOM'd the heap; 1024 completed — i.e. the verify wants
+    * ≥ ~6× the partitions the 5.6 GB documents table's raw footprint
+    * computes (175). 8× keeps the same shortfall-is-an-OOM asymmetry margin
+    * the base rule uses (5.6 GB → 1400 ≥ 1.4× the proven-good 1024); excess
+    * is AQE-coalesced on every shuffle that turns out small.
+    */
+  val ShingleExpansion: Int = 8
+
   private val sized =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
 
@@ -87,6 +103,25 @@ object Sizing {
           r
         }
       }
+    }
+
+  /** Shuffle sizing for the shingle-exchange family, from predicted
+    * intermediate volume: `docBytes × ShingleExpansion` through the same
+    * 32 MB/partition rule, raise-only, same human-override and fail-safe
+    * semantics as [[autoSize]] (an explicit `SPARK_GRAFT_SHUFFLE_PARTITIONS`
+    * pin wins; an unlistable table falls back to the current setting without
+    * memoizing the failure). `docPath` is the documents TABLE, not the dir —
+    * the corpus dir's other tables (embeddings) say nothing about shingle
+    * volume, which is how the base rule under-sized the fifth decade.
+    * Idempotent per call (applyTarget is raise-only and the footprint is
+    * memoized), so the pair-verify entry points just call it inline.
+    */
+  def autoSizeShingleExchange(s: SparkSession, docPath: String): Int =
+    if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) currentPartitions(s)
+    else {
+      val bytes = footprintBytesCached(s, docPath)
+      if (bytes < 0) currentPartitions(s)
+      else applyTarget(s, computedPartitions(bytes * ShingleExpansion))
     }
 
   private def currentPartitions(s: SparkSession): Int =

@@ -44,8 +44,10 @@ object TextOps {
     * minhash+explode recomputes; shingles are ~50 string rows/doc with one
     * consumer, so their spilled cache was pure eviction churn.
     */
-  private def bandsCached(s: SparkSession, d: String): DataFrame =
+  private def bandsCached(s: SparkSession, d: String): DataFrame = {
+    sizeShingleExchange(s, d)
     bandsCache.getOrElseUpdate((s, d), bands(s, d).cache())
+  }
 
   /** The verify joins hit the distinct shingle set three times (two join sides
     * + per-doc counts) — cache the deduped frame so the distinct's shuffle runs
@@ -69,8 +71,23 @@ object TextOps {
   private def hashedShingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
 
-  private def distinctShinglesCached(s: SparkSession, d: String): DataFrame =
+  /** Size the session's shuffle for a shingle-width exchange BEFORE building
+    * any frame that explodes per-token rows ([[Sizing.autoSizeShingleExchange]]:
+    * documents footprint × the measured intermediate-to-input ratio). Called
+    * from every cache builder and pair-verify entry point, so the partition
+    * count is raised before the first exploded exchange plans — the fifth
+    * decade's manual `SPARK_GRAFT_SHUFFLE_PARTITIONS=1024` knob, turned by the
+    * engine (round 11; the base dir-footprint rule saw 11 GB → 344, which
+    * OOM'd d09's verify at 50M docs).
+    */
+  private def sizeShingleExchange(s: SparkSession, d: String): Unit = {
+    Sizing.autoSizeShingleExchange(s, s"$d/documents.parquet"); ()
+  }
+
+  private def distinctShinglesCached(s: SparkSession, d: String): DataFrame = {
+    sizeShingleExchange(s, d)
     distinctShinglesCache.getOrElseUpdate((s, d), hashedShingles(shingles(s, d)).distinct().cache())
+  }
 
   /** d11's probe frame: distinct word-3-gram shingles over NORMALIZED text —
     * lowercase + punctuation-strip (t03's normalization) applied BEFORE
@@ -87,9 +104,11 @@ object TextOps {
   private val decontamShinglesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def decontamShinglesCached(s: SparkSession, d: String): DataFrame =
+  private def decontamShinglesCached(s: SparkSession, d: String): DataFrame = {
+    sizeShingleExchange(s, d)
     decontamShinglesCache.getOrElseUpdate((s, d),
       decontamShinglesOf(documents(s, d)).cache())
+  }
 
   /** Benchmark decontamination over an arbitrary (doc_id, text) frame: every
     * non-eval doc sharing any normalized word-3-gram with the eval slice
@@ -314,6 +333,7 @@ object TextOps {
     * counts/intersection joins touch is a candidate id by construction.
     */
   private def jaccardCountsGated(s: SparkSession, d: String, cand0: DataFrame): DataFrame = {
+    sizeShingleExchange(s, d)
     val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
     if (fp >= 0 && fp < CachedVerifyMaxDocBytes)
       jaccardCountsFrom(cand0, distinctShinglesCached(s, d))

@@ -156,6 +156,44 @@ class SizingSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle-exchange expansion clears the measured fifth-decade wall with margin") {
+    // sf1000's documents.parquet is ~5.6 GB; the round-10 campaign measured
+    // auto-344 (the base dir rule) OOMing d09's verify and 1024 completing.
+    // The expansion rule must size a 5.6 GB documents table WELL above 1024,
+    // and must leave the bench corpora (sf0.1 docs ~6 MB) untouched.
+    val fifth = Sizing.computedPartitions((56L << 30) / 10 * Sizing.ShingleExpansion)
+    assert(fifth >= 1024, s"must clear the proven-good 1024, got $fifth")
+    assert(fifth >= (1.3 * 1024).toInt,
+      "sizing must clear the known-good point with real margin, not land on it")
+    assert(Sizing.computedPartitions((6L << 20) * Sizing.ShingleExpansion) < 32,
+      "small-sf corpora must stay below the session default (raise-only no-op)")
+  }
+
+  test("autoSizeShingleExchange: raises from the documents table footprint × expansion") {
+    withConfRestored("spark.sql.shuffle.partitions", InitKey) {
+      Sizing.clearCache()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sizing-shingle")
+      val doc = tmp.resolve("documents.parquet")
+      java.nio.file.Files.createDirectories(doc)
+      // 48 MB of fake footprint: base rule gives 2 partitions, ×8 gives 12
+      java.nio.file.Files.write(doc.resolve("part-0"), new Array[Byte](48 << 20))
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val sized = Sizing.autoSizeShingleExchange(spark, doc.toString)
+        assert(sized === Sizing.computedPartitions((48L << 20) * Sizing.ShingleExpansion))
+        assert(sized === 12)
+        assert(spark.conf.get("spark.sql.shuffle.partitions") === "12")
+        // unknown footprint fails SAFE to the current setting, not to tiny
+        assert(Sizing.autoSizeShingleExchange(spark, "/nonexistent/graft-shingle") === 12)
+      } finally {
+        java.nio.file.Files.delete(doc.resolve("part-0"))
+        java.nio.file.Files.delete(doc)
+        java.nio.file.Files.delete(tmp)
+        Sizing.clearCache()
+      }
+    }
+  }
+
   test("autoSize survives an unreadable dir (falls back to current setting)") {
     withConfRestored("spark.sql.shuffle.partitions", InitKey) {
       Sizing.clearCache()

@@ -56,6 +56,53 @@ class LoadManySpec extends AnyFunSuite {
     }
   }
 
+  test("loadMany over renamed-family variants: union schema + per-db ratio parity") {
+    assume(hasFixtures)
+    // 6 files, 4 distinct renamed metric families (2 per source fixture, with a
+    // third variant re-sharing family F00 of each source — both the disjoint
+    // and the shared-name formula paths run). The rename (XmlFixtureSynth)
+    // touches only the MetricTable's n= attributes, so every per-db value must
+    // equal the source fixture's single-file load under the renamed column.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-loadmany-variants")
+    try {
+      val v1 = XmlFixtureSynth.variants(fixture(1), tmp, 3, 2, "exp1")
+      val v2 = XmlFixtureSynth.variants(fixture(2), tmp, 3, 2, "exp2")
+      val many = ProfileLoad.loadMany(spark, (v1 ++ v2).map(_._1))
+      assert(many.df.count() === 3L * 3454 + 3L * 2854)
+
+      // union schema: each variant's renamed family appears in the columns,
+      // and renamed families never collide across variants of different names
+      val cols = many.df.columns.toSet
+      for ((p, fam) <- v1 ++ v2) {
+        assert(cols.exists(_.startsWith(s"$fam:")), s"missing union columns for $fam of $p")
+        assert(many.metas(p).percentageColumn.startsWith(s"$fam:"),
+          s"$p: percentage base must live in the renamed family")
+      }
+
+      // per-db ratio spot value: variant 0's renamed ratio-of-total column must
+      // sum to exactly the single-file load's value (identical bytes, renamed name)
+      val single1 = ProfileLoad.load(spark, fixture(1))
+      val base1 = single1.meta.percentageColumn
+      val expect = single1.df.agg(sum(col(s"`$base1 ratio of total`"))).head().getDouble(0)
+      val (p0, fam0) = v1.head
+      val renamedCol = s"${many.metas(p0).percentageColumn} ratio of total"
+      val got = many.df.filter(col("db") === p0)
+        .agg(sum(col(s"`$renamedCol`"))).head().getDouble(0)
+      assert(math.abs(got - expect) <= math.abs(expect) * 1e-12,
+        s"$fam0 ratio-of-total sum drifted from the single-file load")
+      // and that db contributes NOTHING to any other family's ratio columns
+      val foreign = many.df.columns
+        .filter(c => c.endsWith("ratio of total") && c != renamedCol)
+      for (c <- foreign)
+        assert(many.df.filter(col("db") === p0 && col(s"`$c`").isNotNull).count() === 0,
+          s"$p0 leaked values into $c")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("loadMany keeps cross-file metric families apart") {
     assume(hasFixtures)
     val many = ProfileLoad.loadMany(spark, Seq(fixture(1), fixture(2)))
