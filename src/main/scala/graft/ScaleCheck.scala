@@ -613,8 +613,14 @@ object ScaleCheck {
         val v1 = graft.hpct.XmlFixtureSynth.variants(fix1, tmp, perFixture, families, "exp1")
         val v2 = graft.hpct.XmlFixtureSynth.variants(fix2, tmp, perFixture, families, "exp2")
         val paths = (v1 ++ v2).map(_._1)
+        // force frame execution inside the timed block: load() alone is
+        // driver parse + a LAZY frame, which under-measures the single side
+        // and inflates speedup_vs_serial vs the fully-executed many side
         val (singles, secSingles) = timed(
-          Seq(fix1, fix2).map(f => graft.hpct.ProfileLoad.load(spark, f)))
+          Seq(fix1, fix2).map { f =>
+            val pf = graft.hpct.ProfileLoad.load(spark, f)
+            pf.df.count(); pf
+          })
         val expSums = singles.map { pf =>
           val c = s"${pf.meta.percentageColumn} ratio of total"
           pf.df.agg(round(sum(col(s"`$c`")), 6)).head().getDouble(0)
@@ -634,10 +640,18 @@ object ScaleCheck {
           (mpf.df.count(), mpf.df.columns.length, sigs, sums)
         }
         val serial = perFixture * secSingles
+        // relative-tolerance compare (as LoadManySpec does), not exact Set
+        // equality on rounded doubles: the two sides aggregate in different
+        // orders, and a ulp-level difference sitting on a 6-decimal rounding
+        // boundary would flip an exact compare to a false mismatch
+        def close(a: Double, b: Double): Boolean =
+          math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+        val sumsMatch = dbSums.size == expSums.size &&
+          dbSums.forall(a => expSums.exists(b => close(a, b)))
         println(f"""SCALECHECK {"step":"loadmany","files":${paths.length},"families":${2 * families},""" +
           f""""rows":$rows,"union_cols":$unionCols,"singles_sec":$secSingles%.1f,"many_sec":$secMany%.1f,""" +
           f""""speedup_vs_serial":${serial / secMany}%.1f,"distinct_db_signatures":$dbSigs,""" +
-          f""""expected_signatures":${2 * families},"per_db_sums_match_singles":${dbSums == expSums}}""")
+          f""""expected_signatures":${2 * families},"per_db_sums_match_singles":$sumsMatch}""")
       }
     }
 

@@ -46,6 +46,20 @@ object XmlFixtureSynth {
       s"need 0 < families <= n, got n=$n families=$families")
     val fam = familyOf(src)
     val content = new String(Files.readAllBytes(Paths.get(src)), UTF_8)
+    // The rename below is a GLOBAL byte replace; the documented "tree bytes
+    // untouched" invariant holds only while the family string appears solely
+    // in `Metric n="FAMILY:…"` declarations. A fixture whose family text also
+    // occurs in the tree (a procedure/file/module name) would silently mutate
+    // measurement rows — so count both and fail loudly on any stray occurrence.
+    val totalOccurrences =
+      content.sliding(fam.length).count(_ == fam)
+    val declOccurrences =
+      (" n=\"" + java.util.regex.Pattern.quote(fam) + ":").r
+        .findAllMatchIn(content).size
+    require(totalOccurrences == declOccurrences,
+      s"family '$fam' occurs $totalOccurrences times in $src but only " +
+        s"$declOccurrences times as a Metric n= declaration — a global " +
+        "replace would mutate tree bytes; scope the fixture's family string")
     Files.createDirectories(dir)
     (0 until n).map { j =>
       val renamed = f"F${j % families}%02d~$fam"

@@ -172,13 +172,21 @@ object Sizing {
     * default) it behaves exactly like an initial count — small shuffles
     * coalesce back down at runtime.
     */
-  private[graft] def applyTarget(s: SparkSession, computed: Int): Int = {
+  private[graft] def applyTarget(s: SparkSession, computed: Int): Int = synchronized {
+    // Synchronized: the read-then-set below is not atomic, and Bench's
+    // concurrent prewarm runs two different-valued sizing paths in parallel
+    // (autoSize from the dir footprint and autoSizeShingleExchange from 8×
+    // the documents footprint). Unserialized, a smaller raise landing after a
+    // larger one would overwrite it, and a shingle cache materialized in that
+    // window would run under-partitioned — the exact OOM this rule prevents.
+    // The monitor makes raises monotonic; target = max(cur, computed) keeps
+    // the raise-only contract within the critical section too.
     val cur = currentPartitions(s)
     val target = math.max(cur, computed)
-    if (computed > cur) {
-      s.conf.set("spark.sql.shuffle.partitions", computed.toString)
+    if (target > cur) {
+      s.conf.set("spark.sql.shuffle.partitions", target.toString)
       System.err.println(
-        s"[graft] auto-sized spark.sql.shuffle.partitions to $computed " +
+        s"[graft] auto-sized spark.sql.shuffle.partitions to $target " +
           "(raise-only; AQE coalesces the excess on small shuffles)")
     }
     // A session that PINS coalescePartitions.initialPartitionNum (a common AQE

@@ -64,6 +64,30 @@ class SizingSpec extends AnyFunSuite {
     }
   }
 
+  test("applyTarget: concurrent raises are monotonic (smaller can never land over larger)") {
+    // Bench's concurrent prewarm runs two different-valued sizing paths in
+    // parallel (dir-footprint autoSize and 8x-documents autoSizeShingleExchange).
+    // Before the synchronized max-apply, a smaller raise whose read happened
+    // before a larger raise's set could overwrite it — a shingle cache
+    // materialized in that window would run under-partitioned (the exact OOM
+    // the rule prevents). Hammer the two values from racing threads; the
+    // effective setting must always end at the max.
+    withConfRestored("spark.sql.shuffle.partitions", InitKey) {
+      (1 to 20).foreach { _ =>
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          Seq(1433, 344)
+            .map(v => pool.submit(new Runnable {
+              def run(): Unit = { Sizing.applyTarget(spark, v); () }
+            }))
+            .foreach(_.get())
+        } finally pool.shutdown()
+        assert(spark.conf.get("spark.sql.shuffle.partitions") === "1433")
+      }
+    }
+  }
+
   test("applyTarget raises a pinned initialPartitionNum in lockstep (it would otherwise win)") {
     // Spark prefers initialPartitionNum over shuffle.partitions when AQE
     // coalescing is on — a session that pinned it small (pre-r10 graft did)
