@@ -85,6 +85,7 @@ object VectorOps {
       m.values.foreach(_.unpersist())
       m.clear()
     }
+    countCache.clear()
   }
 
   /** cos(embedding, qe), rounded to 5 dp (both oracle-side and here). */
@@ -94,6 +95,45 @@ object VectorOps {
 
   private val bandBits = 12
   private val nBands = 2
+
+  /** Corpus-derived sign-LSH band width — the constant that killed the
+    * round-11 sf100 sweep, turned into an engine rule. A width frozen at the
+    * gate-scale default 12 bits puts the candidate join in the quadratic
+    * random-collision regime once N approaches 2^bits (at sf100's 2M vectors:
+    * 2 × N²/2/2¹² ≈ 9.8e8 pairs, a measured heap OOM); the five-decade
+    * measurement campaign (SCALECHECK.md `candidates`) showed +4 bits per
+    * decade holds pairs/vec flat at 0.074–0.50 across 100,000×. This rule is
+    * that diagonal in closed form: the smallest multiple of 4 with
+    * 2^bits ≥ 2N (so each band's random-collision term stays ≤ ~1 pair/vec),
+    * floored at the oracle-gate default 12 and capped at 32 (nBands × bits
+    * ≤ 64 dims). Integer bit-math, not float log: ceil(log2(2n)) via
+    * numberOfLeadingZeros is exact at power-of-two boundaries, where a
+    * float log could round either way. The DuckDB mirror in [[bandedSql]]
+    * computes the same rule with CEIL(LOG2(2n)) — exact there too, because
+    * every power of two is exactly representable as a double and non-powers
+    * sit ~1e-15 away from the nearest integer, never crossing a CEIL
+    * boundary.
+    *
+    * Gate scales resolve to today's width (12 bits: N=500 at sf0.01,
+    * N=2,000 at sf0.1 — oracle results unchanged); the measured-good sf100
+    * width falls out at 24 (N=2M, 0.12 pairs/vec measured) and sf1000 at 28.
+    */
+  def bandBitsFor(n: Long): Int = {
+    require(n >= 1, s"corpus size must be positive, got $n")
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(2 * n - 1) // ceil(log2(2n))
+    math.min(32, math.max(bandBits, ((needed + 3) / 4) * 4))
+  }
+
+  /** Cached corpus row count per (session, dir) — the one scalar
+    * [[bandBitsFor]] needs. One parquet-metadata count per session per dir
+    * (on a production cluster this is a table-stats lookup); cleared with
+    * [[clearCaches]].
+    */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private[graft] def embCountCached(s: SparkSession, d: String): Long =
+    countCache.getOrElseUpdate((s, d), embeddings(s, d).count())
 
   /** Sign bits of dims [lo+1, lo+bits] as a bucket string (deterministic
     * axis-aligned hyperplane LSH, identical in DuckDB).
@@ -110,7 +150,10 @@ object VectorOps {
     *  - `bands` (band COUNT) buys recall back (OR-amplification): a neighbor is a
     *    candidate if it matches ANY band, so more bands = more chances; candidates
     *    scale linearly in `bands`, quadratically in lost `bits`.
-    * The oracle-checked s02/d08 variants stay at the pinned default 2×12.
+    * The oracle-checked s02/d08 variants derive `bits` from the corpus size
+    * via [[bandBitsFor]] (12 at the gate scales, 24 at sf100, 28 at sf1000) —
+    * the DuckDB oracle computes the identical rule in SQL so both engines
+    * band at the same width at every scale.
     */
   private[graft] def banded(emb: DataFrame, bits: Int = bandBits,
       bands: Int = nBands): DataFrame = {
@@ -312,10 +355,11 @@ object VectorOps {
     }),
 
     // ANN: probe the query's 2 band buckets (broadcast 2-row build side), score the
-    // union of both buckets' members exactly, keep top-5.
+    // union of both buckets' members exactly, keep top-5. Band width from the
+    // corpus size (bandBitsFor) — shared with d08's candidate join.
     "s02_ann_bucket" -> ((s, d) => {
       graft.functions.VecDot.register(s)
-      val bb = banded(embeddings(s, d))
+      val bb = banded(embeddings(s, d), bandBitsFor(embCountCached(s, d)))
       val q = bb.filter(col("vec_id") === 0)
         .select(col("bi"), col("bucket"), col("embedding").as("qe"))
       bb.join(broadcast(q), Seq("bi", "bucket"))
@@ -370,7 +414,10 @@ object VectorOps {
     "d08_embed_neardup" -> ((s, d) => {
       graft.functions.VecDot.register(s)
       val emb = embeddings(s, d)
-      val bb = banded(emb)
+      // width from corpus size, NOT the 12-bit gate default: the frozen width
+      // is a measured scale-killer (the round-11 sf100 sweep's heap OOM —
+      // 9.8e8 candidate pairs at 2M vectors; see bandBitsFor)
+      val bb = banded(emb, bandBitsFor(embCountCached(s, d)))
       // candidate ids first: the bucket join and the cross-band distinct shuffle
       // ONLY (id_a, id_b) pairs — the 64-float payloads would otherwise ride
       // through both exchanges (2×64 floats per row) just to be deduped by id
@@ -393,14 +440,26 @@ object VectorOps {
   private val CosSql =
     "round(dot / (sqrt(sa) * sqrt(sq)), 5)"
 
-  /** Banded view in DuckDB: one SELECT per band, mirroring [[banded]]. */
-  private def bandedSql: String =
-    (0 until nBands).map { b =>
-      val bits = (b * bandBits + 1 to (b + 1) * bandBits)
-        .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
-        .mkString("concat(", ", ", ")")
-      s"SELECT vec_id, embedding, $b AS bi, $bits AS bucket FROM embeddings"
-    }.mkString("bb AS (", " UNION ALL ", ")")
+  /** Banded view in DuckDB, mirroring [[banded]] at the SAME corpus-derived
+    * width as the engine: the width rule ([[bandBitsFor]]) is computed IN SQL
+    * from count(*) — min(32, max(12, 4·ceil(ceil(log2(2n))/4))) — so the
+    * oracle tracks whatever width the engine picks at every scale with no
+    * constant to keep in sync. The full 64-dim sign string is built once and
+    * each band's bucket is substr(s64, bi·bits+1, bits) — identical dim
+    * ranges to [[signBand]] for any width.
+    */
+  private def bandedSql: String = {
+    val s64 = (1 to 64)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+      .mkString("concat(", ", ", ")")
+    val bis = (0 until nBands).mkString("[", ", ", "]")
+    "nn AS (SELECT count(*) AS n FROM embeddings), " +
+      "w AS (SELECT CAST(LEAST(32, GREATEST(12, " +
+      "4 * CAST(CEIL(CEIL(LOG2(2.0 * n)) / 4.0) AS INT))) AS INT) AS bits FROM nn), " +
+      s"sgn AS (SELECT vec_id, embedding, $s64 AS s64 FROM embeddings), " +
+      "bb AS (SELECT vec_id, embedding, b.bi, substr(s64, b.bi * w.bits + 1, w.bits) AS bucket " +
+      s"FROM sgn CROSS JOIN w CROSS JOIN (SELECT unnest($bis) AS bi) b)"
+  }
 
   /** s01's exact top-k SQL, limit-parameterized so the recall oracle can reuse it. */
   private def exactTopSql(k: Int): String =
