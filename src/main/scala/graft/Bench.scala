@@ -172,7 +172,20 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times(times.length / 2), err, curMid)
+      val median = times(times.length / 2)
+      // stream one line per COMPLETED query, immediately: the round-11 sf100
+      // sweep died fatally (heap OOM in d08) with ~9 minutes of finished
+      // per-query executions held only in this in-memory list — results
+      // printed exclusively at end-of-run, so a fatal error kept nothing.
+      // stderr, prefixed, so the end-of-run BENCH artifact format (the two
+      // stdout JSON lines) is unchanged and a crashed run still leaves its
+      // partial sweep greppable from the log.
+      val rowJson = err match {
+        case None => s"""{"q":"${esc(name)}","sec":$median,"mid":$curMid}"""
+        case Some(e) => s"""{"q":"${esc(name)}","err":"${esc(e)}","mid":$curMid}"""
+      }
+      System.err.println(s"BENCHROW $rowJson")
+      (name, median, err, curMid)
     }.sortBy(_._1)
     // Per-row contention SELF-CLASSIFICATION: a row whose nearest preceding
     // mini-calibration sample exceeded 2× the run's median mini-calibration ran
