@@ -316,7 +316,7 @@ object ScaleCheck {
     // re-measurement tool. Unknown names fail loudly: a typo would otherwise
     // run ZERO steps and exit 0, an empty measurement indistinguishable from a
     // filtered one (the file's own no-silent-caps principle).
-    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue")
+    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue", "d11probe")
     val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").map(_.trim).toSet)
     onlySteps.foreach { s =>
       val unknown = s.diff(knownSteps)
@@ -435,6 +435,33 @@ object ScaleCheck {
       println(f"""SCALECHECK {"step":"residue","sf":"$dstName","mod":$mod,"docs":$docs,""" +
         f""""same_replica_pairs":$same,"same_per_doc":${same.toDouble / docs}%.4f,""" +
         f""""cross_replica_pairs":$cross,"cross_per_doc":${cross.toDouble / docs}%.4f,"sec":$sec%.1f}""")
+      graft.Caches.clearAll()
+    }
+
+    if (stepExplicit("d11probe"))
+    // d11's fifth-decade point + the UNGATED decontam-shingle cache audit
+    // (r10 ask #2, opt-in like residue — it runs the suite's normalized
+    // shingle distinct twice over dst). Two reps of the registered query in
+    // ONE session: rep 1 pays the cache build; rep 2 is the tell. If the
+    // cached distinct-shingle frame serves (fully memory-resident or cheap
+    // disk), rep 2 ≪ rep 1; if the storage pool churns/evicts at this scale,
+    // rep 2 recomputes per-partition on top of eviction overhead (the exact
+    // failure d05's verify-shingle cache measured at sf100, which is why THAT
+    // cache is footprint-gated) and the fix is the same gate. The storage
+    // report makes the eviction visible directly: cached vs total partitions
+    // plus memory/disk bytes of every cached RDD after rep 2.
+    {
+      val q = graft.SparkEntry.queries("d11_decontam")
+      val (_, rep1) = timed(q(spark, dst).write.format("noop").mode("overwrite").save())
+      val (_, rep2) = timed(q(spark, dst).write.format("noop").mode("overwrite").save())
+      val (cachedParts, totalParts, memB, diskB) =
+        spark.sparkContext.getRDDStorageInfo.foldLeft((0, 0, 0L, 0L)) { (a, i) =>
+          (a._1 + i.numCachedPartitions, a._2 + i.numPartitions,
+            a._3 + i.memSize, a._4 + i.diskSize)
+        }
+      println(f"""SCALECHECK {"step":"d11probe","sf":"$dstName","rep1_sec":$rep1%.1f,"rep2_sec":$rep2%.1f,""" +
+        f""""cached_partitions":$cachedParts,"total_partitions":$totalParts,""" +
+        f""""cache_mem_bytes":$memB,"cache_disk_bytes":$diskB}""")
       graft.Caches.clearAll()
     }
 
