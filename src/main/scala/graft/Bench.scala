@@ -21,6 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Advisory, before ~20 min of sweep can die in b06: the measured
+    // 1 GB-heap-per-task wall for large sorted-output queries (Sizing).
+    graft.queries.Sizing.adviseTaskMemory(spark)
     // Warmup doubles as CALIBRATION: it spins codegen, shuffle, window, join, and
     // parquet IO machinery on SYNTHETIC data (so the first measured query doesn't
     // absorb one-time session costs), and because the workload is FIXED, its wall

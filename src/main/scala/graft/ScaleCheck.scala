@@ -651,7 +651,7 @@ object ScaleCheck {
         val expSums = singles.map { pf =>
           val c = s"${pf.meta.percentageColumn} ratio of total"
           pf.df.agg(round(sum(col(s"`$c`")), 6)).head().getDouble(0)
-        }.toSet
+        }
         val ((rows, unionCols, dbSigs, dbSums), secMany) = timed {
           val mpf = graft.hpct.ProfileLoad.loadMany(spark, paths)
           val ratioCols = mpf.df.columns.filter(_.endsWith("ratio of total")).toSeq
@@ -663,7 +663,7 @@ object ScaleCheck {
           // picks it, and the per-db sums must reproduce the single-file values
           val sums = mpf.df.groupBy("db")
             .agg(round(sum(coalesce(ratioCols.map(c => col(s"`$c`")): _*)), 6).as("rsum"))
-            .select("rsum").distinct().collect().map(_.getDouble(0)).toSet
+            .select("rsum").collect().map(_.getDouble(0)).toSeq
           (mpf.df.count(), mpf.df.columns.length, sigs, sums)
         }
         val serial = perFixture * secSingles
@@ -673,8 +673,19 @@ object ScaleCheck {
         // boundary would flip an exact compare to a false mismatch
         def close(a: Double, b: Double): Boolean =
           math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
-        val sumsMatch = dbSums.size == expSums.size &&
-          dbSums.forall(a => expSums.exists(b => close(a, b)))
+        // Bijective multiset compare: each of the 2 fixtures contributes
+        // perFixture dbs whose per-db sum must equal that fixture's single-file
+        // value, so the expected multiset is each single sum × perFixture.
+        // Sort both sides and pairwise-compare with tolerance — the old
+        // distinct()-to-Set form could false-match (two db sums near ONE
+        // expected value) and false-mismatch (a ulp flip on the 6-dp rounding
+        // boundary changes exact-distinct set sizes).
+        val sumsMatch = {
+          val expected = expSums.flatMap(Seq.fill(perFixture)(_)).sorted
+          val actual = dbSums.sorted
+          expected.size == actual.size &&
+            expected.lazyZip(actual).forall(close)
+        }
         println(f"""SCALECHECK {"step":"loadmany","files":${paths.length},"families":${2 * families},""" +
           f""""rows":$rows,"union_cols":$unionCols,"singles_sec":$secSingles%.1f,"many_sec":$secMany%.1f,""" +
           f""""speedup_vs_serial":${serial / secMany}%.1f,"distinct_db_signatures":$dbSigs,""" +

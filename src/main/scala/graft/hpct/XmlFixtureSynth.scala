@@ -51,8 +51,15 @@ object XmlFixtureSynth {
     // in `Metric n="FAMILY:…"` declarations. A fixture whose family text also
     // occurs in the tree (a procedure/file/module name) would silently mutate
     // measurement rows — so count both and fail loudly on any stray occurrence.
-    val totalOccurrences =
-      content.sliding(fam.length).count(_ == fam)
+    // Non-overlapping count (indexOf stepping by fam.length), matching
+    // replace()'s semantics — a sliding() count would tally overlapping
+    // occurrences of a self-overlapping family string and false-fail the
+    // guard on a clean fixture (and is O(len × fam) besides).
+    val totalOccurrences = {
+      var i = content.indexOf(fam); var n = 0
+      while (i >= 0) { n += 1; i = content.indexOf(fam, i + fam.length) }
+      n
+    }
     val declOccurrences =
       (" n=\"" + java.util.regex.Pattern.quote(fam) + ":").r
         .findAllMatchIn(content).size

@@ -71,6 +71,12 @@ object Components {
     val sym = e0.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(e0.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint() // the edge frame is reused every round; pin it once
+    // Attribute the upstream edge materialization (in the dedup pipeline: the
+    // whole band-join + Jaccard verify, by far the dominant cost at sf1000)
+    // separately from the retirement prepass — the pre-r13 log charged both
+    // to stage=retire_pairs, which misread as "the prepass IS the cost".
+    logLine(f"stage=edges sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    val tRet = System.nanoTime()
     // EARLY RETIREMENT of isolated-edge components: in a real near-dup corpus
     // the overwhelming majority of clusters are PAIRS (one duplicated doc). A
     // node whose single distinct neighbor's own single distinct neighbor is
@@ -82,9 +88,14 @@ object Components {
     // the pair mass from ALL rounds dwarfs the one-time degree scan — once the
     // graph is big enough that rounds dominate the prepass's fixed job floor
     // ([[RetireMinSymRows]]); below that the prepass is skipped outright.
-    val doRetire = retirePairs.getOrElse(sym.count() >= RetireMinSymRows)
+    // Branch priority: explicit caller force (specs pin both branches) >
+    // SPARK_GRAFT_RETIRE_PAIRS=0/1 (operator A/B knob, same human-outranks-
+    // heuristic contract as SPARK_GRAFT_SHUFFLE_PARTITIONS) > the size gate.
+    val doRetire = retirePairs
+      .orElse(sys.env.get("SPARK_GRAFT_RETIRE_PAIRS").map(_ == "1"))
+      .getOrElse(sym.count() >= RetireMinSymRows)
     val (pairLabels, residual) = if (!doRetire) {
-      logLine(f"stage=retire_pairs skipped=true sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      logLine(f"stage=retire_pairs skipped=true sec=${(System.nanoTime() - tRet) / 1e9}%.2f")
       // empty, typed off sym so the final union matches the loop's id type
       (sym.limit(0).select(col("u").as("id"), col("u").as("lbl")), sym)
     } else {
@@ -101,7 +112,7 @@ object Components {
         .join(pl.select(col("id").as("u")), Seq("u"), "left_anti")
         .localCheckpoint()
       logLine(f"stage=retire_pairs pairs_nodes=${pl.count()} " +
-        f"residual_edges=${res.count()} sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        f"residual_edges=${res.count()} sec=${(System.nanoTime() - tRet) / 1e9}%.2f")
       (pl, res)
     }
     var labels = residual.select(col("u").as("id")).distinct()

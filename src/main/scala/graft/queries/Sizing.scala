@@ -68,6 +68,60 @@ object Sizing {
     */
   val ShingleExpansion: Int = 8
 
+  /** Measured minimum JVM heap per CONCURRENT TASK for the heavy
+    * sorted-output family (the oracle contract's pinned total ORDER BY over
+    * ~600M-row results: b06's semi-join sort, b18's array reconstruction,
+    * b01/b20's full-width projections).
+    *
+    * The round-12 sf100 sweep measured the wall directly — same code, same
+    * data, only the shape varied: 8g/local[32] (0.25 GB/task) dies in b06 at
+    * UNABLE_TO_ACQUIRE_MEMORY then b18 at heap OOM; 8g/local[16] (0.5 GB/task)
+    * still dies in b06; 16g/local[16] (1 GB/task) completes all 68 queries
+    * (SCALECHECK.md round 12). Partition count cannot clear this wall —
+    * partitions divide rows, but the per-task working set (wide-row sort
+    * buffers + parquet read-ahead + the ~40% non-unified JVM overhead) has a
+    * floor that survives division; the lever is heap × cores-per-executor.
+    *
+    * This is deliberately heap-per-task, not unified-pool-per-task: operators
+    * see the pool, but the measured failures include non-pool allocations
+    * (the parquet read-ahead thread OOM'd the 8g/16 run), so the
+    * provisioning rule a cluster can act on is the whole-heap ratio.
+    */
+  val HeapPerTaskBytes: Long = 1L << 30
+
+  /** Max task slots a heap of `heapBytes` can feed for the heavy sorted-output
+    * family at the measured [[HeapPerTaskBytes]] density — the
+    * cores-per-executor hint: an executor with a 16 GB heap wants ≤16 task
+    * slots for this job class (and an 8 GB one ≤8, NOT the box's 32 threads).
+    */
+  def maxUsefulParallelism(heapBytes: Long): Int =
+    math.max(1, (heapBytes / HeapPerTaskBytes).toInt)
+
+  /** Startup advisory: compare the session's actual heap-per-task density
+    * against [[HeapPerTaskBytes]] and return the warning line (also printed
+    * to stderr) when the shape is below the measured wall, None when it is
+    * fine. Advisory only — the master/core count is fixed at session start,
+    * so the engine cannot turn this knob itself; it can only say, before ~20
+    * minutes of sweep die in b06, what the round-12 campaign had to find by
+    * dying there.
+    */
+  def adviseTaskMemory(s: SparkSession): Option[String] = {
+    val heap = Runtime.getRuntime.maxMemory
+    val slots = s.sparkContext.defaultParallelism
+    if (slots <= 0 || heap / math.max(1, slots) >= HeapPerTaskBytes) None
+    else {
+      val perTask = heap / slots
+      val msg = f"[graft] heap density ${perTask / (1L << 20)}%d MB/task " +
+        f"(${heap / (1L << 30)}%d GB heap / $slots%d task slots) is below the " +
+        f"measured ${HeapPerTaskBytes / (1L << 30)}%d GB/task wall for large " +
+        f"sorted-output queries — prefer <= ${maxUsefulParallelism(heap)}%d " +
+        "cores at this heap (SCALECHECK.md round 12: 8g/32 and 8g/16 both " +
+        "OOM'd b06/b18 at sf100; 16g/16 completed 68/68)"
+      System.err.println(msg)
+      Some(msg)
+    }
+  }
+
   private val sized =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
 

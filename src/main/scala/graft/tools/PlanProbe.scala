@@ -28,6 +28,7 @@ object PlanProbe {
       .config("spark.ui.enabled", false)
       .config("spark.log.level", "WARN")
       .getOrCreate()
+    graft.queries.Sizing.adviseTaskMemory(spark)
     try {
       val q = graft.SparkEntry.queries(name)
       println(s"=== $name @ $dir ===")

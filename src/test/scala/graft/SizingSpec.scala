@@ -227,4 +227,25 @@ class SizingSpec extends AnyFunSuite {
       Sizing.clearCache()
     }
   }
+
+  test("maxUsefulParallelism encodes the measured r12 density wall") {
+    // the three measured sf100 shapes: 8g/32 and 8g/16 fail, 16g/16 passes
+    assert(Sizing.maxUsefulParallelism(8L << 30) === 8,
+      "an 8 GB heap must advise <= 8 slots (both measured 8g shapes OOM'd)")
+    assert(Sizing.maxUsefulParallelism(16L << 30) === 16,
+      "16 GB / 16 slots is the measured-green shape")
+    assert(Sizing.maxUsefulParallelism(1L) === 1, "never advises zero slots")
+  }
+
+  test("adviseTaskMemory fires iff the session heap density is under the wall") {
+    val heap = Runtime.getRuntime.maxMemory
+    val slots = spark.sparkContext.defaultParallelism
+    val expectWarn = heap / math.max(1, slots) < Sizing.HeapPerTaskBytes
+    val advice = Sizing.adviseTaskMemory(spark)
+    assert(advice.isDefined === expectWarn,
+      s"heap=$heap slots=$slots wall=${Sizing.HeapPerTaskBytes}")
+    advice.foreach { msg =>
+      assert(msg.contains("GB/task wall") && msg.contains("cores at this heap"))
+    }
+  }
 }
