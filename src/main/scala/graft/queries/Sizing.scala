@@ -111,10 +111,11 @@ object Sizing {
     if (slots <= 0 || heap / math.max(1, slots) >= HeapPerTaskBytes) None
     else {
       val perTask = heap / slots
+      // ASCII only: the forked JVM's default stderr encoding mangles em-dashes
       val msg = f"[graft] heap density ${perTask / (1L << 20)}%d MB/task " +
         f"(${heap / (1L << 30)}%d GB heap / $slots%d task slots) is below the " +
         f"measured ${HeapPerTaskBytes / (1L << 30)}%d GB/task wall for large " +
-        f"sorted-output queries — prefer <= ${maxUsefulParallelism(heap)}%d " +
+        f"sorted-output queries - prefer <= ${maxUsefulParallelism(heap)}%d " +
         "cores at this heap (SCALECHECK.md round 12: 8g/32 and 8g/16 both " +
         "OOM'd b06/b18 at sf100; 16g/16 completed 68/68)"
       System.err.println(msg)

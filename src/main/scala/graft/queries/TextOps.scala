@@ -98,7 +98,18 @@ object TextOps {
     */
   private[graft] def decontamShinglesOf(docs: DataFrame): DataFrame = {
     graft.functions.NormalizeText.register(docs.sparkSession)
-    shinglesOf(docs.withColumn("text", expr("normalize_text(text)"))).distinct()
+    // Same scale trade as the d05/d09 verify ([[hashedShingles]]): the overlap
+    // probe compares shingles only by EQUALITY and reports only COUNTS, so
+    // carry xxhash64 of the normalized shingle (16-byte fixed rows) through
+    // the distinct and both join sides instead of ~18-char strings — ~2.5×
+    // less exchange volume. Measured need (round 13, SCALECHECK.md): the
+    // string form's distinct + two-sided shuffle join exhausted the box's
+    // 52 GB scratch disk at sf1000 (50M docs) in stage 1; same wall, same
+    // fix as d09's round-10 campaign. Collision tolerance ~2^-54 per corpus,
+    // documented in the verify skill's triage note; the DuckDB oracle
+    // compares counts, which hashing leaves identical.
+    hashedShingles(
+      shinglesOf(docs.withColumn("text", expr("normalize_text(text)")))).distinct()
   }
 
   private val decontamShinglesCache =
@@ -129,6 +140,48 @@ object TextOps {
     val evalSh = dsh.filter(col("doc_id") % 13 === 0).select("shingle").distinct()
     dsh.filter(col("doc_id") % 13 =!= 0)
       .join(if (broadcastEval) broadcast(evalSh) else evalSh, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** [[decontaminateFrom]] with the eval/corpus split pushed BEFORE the
+    * shingle explode — the corpus-scale formulation. [[decontaminateFrom]]
+    * filters a SHARED distinct-shingle frame twice, which (a) makes that frame
+    * a two-consumer cache candidate whose corpus-sized blocks spill to the
+    * same scratch disk the shuffle needs (the measured sf1000 killer — round
+    * 13, SCALECHECK.md: `Persisting block rdd_9_* to disk` alongside 50 GB of
+    * live shuffle files), and (b) runs the doc-id filters AFTER the explode
+    * and distinct, paying full-corpus exchange for rows each side then drops.
+    * Here each side explodes only its own doc slice (the doc-id filter
+    * commutes with the per-doc explode and distinct, so the result is
+    * row-identical — DecontamSpec pins it): the eval side distincts a single
+    * hashed-shingle column over 1/13 of the corpus, the corpus side 12/13,
+    * nothing is read twice, and no cache exists to compound the disk
+    * pressure.
+    */
+  private[graft] def decontaminateDocs(docs: DataFrame,
+      broadcastEval: Boolean = true): DataFrame = {
+    graft.functions.NormalizeText.register(docs.sparkSession)
+    val norm = docs.withColumn("text", expr("normalize_text(text)"))
+    // ONE corpus-scale exchange, total. A plain distinct() exchanges on
+    // (doc_id, shingle) and the join then RE-exchanges the deduped rows on
+    // shingle — two corpus-scale shuffles whose files are live simultaneously
+    // (Spark keeps a query's shuffle files until it ends), which is exactly
+    // what exhausted the 52 GB scratch disk at sf1000 even after hashing
+    // (round-13 attempt 3). Partitioning by shingle FIRST makes one exchange
+    // serve both operators: HashPartitioning(shingle) satisfies the dedup's
+    // ClusteredDistribution(doc_id, shingle) (partitioning exprs ⊆ grouping
+    // keys, so equal (doc_id, shingle) rows are colocated) and is precisely
+    // the join's requirement, so neither plans another corpus shuffle —
+    // PlanAuditSpec pins the single-exchange shape. Skew bound: per-doc
+    // dedup caps a shingle's rows at the doc count sharing it; the hottest
+    // task's hash map spills to sort-fallback rather than OOM.
+    val corpus = hashedShingles(shinglesOf(norm.filter(col("doc_id") % 13 =!= 0)))
+      .repartition(col("shingle"))
+      .dropDuplicates("doc_id", "shingle")
+    val evalSh = hashedShingles(shinglesOf(norm.filter(col("doc_id") % 13 === 0)))
+      .select("shingle").distinct()
+    corpus.join(if (broadcastEval) broadcast(evalSh) else evalSh, Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
@@ -238,7 +291,15 @@ object TextOps {
         distinctShinglesCached(s, d).count(); ()
       }
     }),
-    "text-decontam" -> (() => { decontamShinglesCached(s, d).count(); () }))
+    "text-decontam" -> (() => {
+      // same gate as the d11 entry: above it no query reads this cache, and
+      // building it would evict the caches that do serve (and spill its
+      // corpus-sized blocks to the scratch disk the shuffles need)
+      val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
+      if (fp >= 0 && fp < CachedVerifyMaxDocBytes) {
+        decontamShinglesCached(s, d).count(); ()
+      }
+    }))
 
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
   def clearCaches(): Unit = {
@@ -692,11 +753,22 @@ object TextOps {
     // gated on the documents table's on-disk footprint (metadata only, memoized)
     // rather than hard-coded — see [[decontaminateFrom]] for the measured failure.
     "d11_decontam" -> ((s, d) => {
-      // fail SAFE on an unknown footprint (-1): the shuffle join is correct at
-      // any size, merely slower when the eval side would have fit a broadcast
+      // Footprint-gated like the d05 verify (jaccardCountsGated): below the
+      // gate, the shared cached distinct-shingle frame + broadcast eval side
+      // (warm across bench reps, proven at sf0.01-sf10); above it — or on an
+      // unknown footprint (-1), failing SAFE to the plan that is correct at
+      // any size — the pushed-down two-sided plan with no cache and no
+      // broadcast ([[decontaminateDocs]]: the ungated cache's disk blocks
+      // plus the post-explode filters were the measured sf1000 scratch-disk
+      // killer, round 13).
       val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
-      decontaminateFrom(decontamShinglesCached(s, d),
-        broadcastEval = fp >= 0 && fp < BroadcastEvalMaxDocBytes)
+      if (fp >= 0 && fp < CachedVerifyMaxDocBytes)
+        decontaminateFrom(decontamShinglesCached(s, d),
+          broadcastEval = fp < BroadcastEvalMaxDocBytes)
+      else {
+        sizeShingleExchange(s, d)
+        decontaminateDocs(documents(s, d), broadcastEval = false)
+      }
     }),
 
     // Deterministic stratified sampling (the training-data mixing stage): N docs

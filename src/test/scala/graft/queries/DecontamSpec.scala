@@ -62,4 +62,27 @@ class DecontamSpec extends AnyFunSuite {
     val hits = raw.filter(col("doc_id") % 13 =!= 0).join(evalSh, Seq("shingle")).count()
     assert(hits === 0L)
   }
+
+  test("the pushed-down corpus-scale plan (decontaminateDocs) is row-identical") {
+    // the footprint gate routes every large corpus through decontaminateDocs,
+    // so its parity with the shared-frame form must be CI-pinned — including
+    // the doc-id-filter-commutes-with-explode equivalence it relies on
+    val docs = docsDf(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      13L -> "The Quick, Brown Fox! Jumps Over The Lazy Dog.",
+      26L -> "shared trigram sentence held out twice over",
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "shared trigram sentence held out twice over and more",
+      4L -> "an entirely different document about something else here")
+    val viaShared = TextOps.decontaminateFrom(
+      TextOps.decontamShinglesOf(docs), broadcastEval = false).collect().toSeq
+    val viaPushed = TextOps.decontaminateDocs(docs, broadcastEval = false)
+      .collect().toSeq
+    val viaPushedBc = TextOps.decontaminateDocs(docs, broadcastEval = true)
+      .collect().toSeq
+    assert(viaPushed === viaShared)
+    assert(viaPushedBc === viaShared)
+    assert(viaPushed.nonEmpty)
+  }
 }

@@ -123,6 +123,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("d11 corpus-scale branch: dedup and join share ONE shingle exchange") {
+    // decontaminateDocs repartitions by shingle BEFORE dropDuplicates so the
+    // dedup aggregation AND the shingle join both reuse that one exchange —
+    // the two-live-corpus-shuffles form is what exhausted the sf1000 scratch
+    // disk (SCALECHECK.md round 13). A (doc_id, shingle)-keyed exchange
+    // anywhere means the dedup re-shuffled and the reuse regressed.
+    val p = TextOps.decontaminateDocs(
+        Tables.documents(spark, sf), broadcastEval = false)
+      .queryExecution.executedPlan.toString
+    assert(!"hashpartitioning\\(doc_id[^)]*shingle".r.findFirstIn(p).isDefined,
+      s"dedup re-exchanged on (doc_id, shingle):\n$p")
+    assert("Exchange hashpartitioning\\(shingle".r.findAllIn(p).size <= 2,
+      s"more than corpus+eval shingle exchanges:\n$p")
+  }
+
   test("d10: the exact-dedup exchange is narrow — text never shuffles") {
     // r10 removed the survivor-frame shingle/band rebuild: candidates
     // semi-join the cached full-corpus pairs, the Jaccard verify reads the
