@@ -761,10 +761,16 @@ object TextOps {
       // broadcast ([[decontaminateDocs]]: the ungated cache's disk blocks
       // plus the post-explode filters were the measured sf1000 scratch-disk
       // killer, round 13).
+      // Branch priority: SPARK_GRAFT_D11_CACHE=0/1 (operator A/B knob, same
+      // human-outranks-heuristic contract as SPARK_GRAFT_RETIRE_PAIRS) > the
+      // footprint gate. DecontamSpec pins row-parity between the branches, so
+      // the knob can only trade speed, never rows.
       val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
-      if (fp >= 0 && fp < CachedVerifyMaxDocBytes)
+      val useCache = sys.env.get("SPARK_GRAFT_D11_CACHE").map(_ == "1")
+        .getOrElse(fp >= 0 && fp < CachedVerifyMaxDocBytes)
+      if (useCache)
         decontaminateFrom(decontamShinglesCached(s, d),
-          broadcastEval = fp < BroadcastEvalMaxDocBytes)
+          broadcastEval = fp >= 0 && fp < BroadcastEvalMaxDocBytes)
       else {
         sizeShingleExchange(s, d)
         decontaminateDocs(documents(s, d), broadcastEval = false)
