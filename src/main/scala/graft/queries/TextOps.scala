@@ -356,8 +356,17 @@ object TextOps {
     * d10 (same, over the quality-gated deduped survivors).
     * The intersection join runs over candidate pairs only, never all pairs.
     */
-  private def jaccardCountsFrom(cand: DataFrame, dsh: DataFrame): DataFrame = {
-    val cnt = dsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+  private def jaccardCountsFrom(cand: DataFrame, dsh: DataFrame): DataFrame =
+    jaccardCountsFromParts(cand, dsh,
+      dsh.groupBy("doc_id").agg(count(lit(1)).as("c")))
+
+  /** [[jaccardCountsFrom]] with the per-doc count frame supplied by the
+    * caller: the array-form restricted branch computes `c` scan-locally
+    * (`size` of the distinct-shingle array) instead of re-aggregating the
+    * exploded rows — see [[jaccardCountsRestricted]] rule 2.
+    */
+  private def jaccardCountsFromParts(cand: DataFrame, dsh: DataFrame,
+      cnt: DataFrame): DataFrame = {
     val inter = cand
       .join(dsh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
       .join(dsh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
@@ -405,23 +414,73 @@ object TextOps {
     * pins its row-for-row equivalence with the cached branch on small corpora
     * (the gate itself only flips above [[CachedVerifyMaxDocBytes]], so the
     * oracle suite alone would never execute this path).
+    *
+    * Two plan rules, each the fix for a measured corpus-scale wall:
+    *
+    * 1. Restrict the DOCUMENT frame before the shingle explode, never after:
+    *    the explode multiplies rows ~50× (one per 3-gram), so a post-explode
+    *    semi-join exchanges every shingle of every doc just to drop most of
+    *    them — at sf1000 that is a ~2.6B-row / tens-of-GB shuffle write that
+    *    exhausted this box's scratch disk (the fifth decade's one measurement
+    *    casualty, round 10). Joining the ~300-byte doc rows first keeps the
+    *    exchange at corpus width and the explode runs scan-local on the
+    *    candidate subset only.
+    *
+    * 2. Dedup and count shingles INSIDE the doc row, not across rows: a doc's
+    *    shingles are a pure function of its `text`, so the codegen'd
+    *    [[graft.functions.ShingleHashes]] kernel (per-doc distinct hashed
+    *    shingle ARRAY, one JIT-compiled pass) replaces the old global
+    *    `distinct()` (one candidate-corpus × shingle-scale exchange on
+    *    (doc_id, shingle)) and `size(__sh)` replaces the old
+    *    `groupBy(doc_id).count` (a second such exchange) — both evaluate in
+    *    the scan task, leaving the intersection join's own exchanges as the
+    *    verify's ONLY shuffles. (An `array_distinct(transform(...))`
+    *    formulation of the same array interprets its lambda per shingle —
+    *    measured 10× slower than legacy on the sf100 edge build, SCALECHECK.md
+    *    round 13 — so the kernel is load-bearing, not a nicety.) Same rows by
+    *    construction: the kernel emits the same xxhash64 values the old
+    *    distinct keyed on, and a zero-shingle doc contributes `c = 0` instead
+    *    of no count row, which no inter row (i >= 1 needs a shingle) can join
+    *    anyway. JaccardGateSpec pins all three forms (cached / kernel /
+    *    legacy) row-for-row.
+    *
+    * `SPARK_GRAFT_VERIFY_ARRAYS=0` forces the legacy distinct+groupBy form
+    * (operator A/B knob, same human-outranks-heuristic contract as
+    * SPARK_GRAFT_RETIRE_PAIRS).
     */
   private[graft] def jaccardCountsRestricted(s: SparkSession, d: String,
+      cand0: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_VERIFY_ARRAYS").contains("0"))
+      jaccardCountsRestrictedLegacy(s, d, cand0)
+    else {
+      graft.functions.ShingleHashes.register(s)
+      val cand = cand0.localCheckpoint()
+      val docs = restrictedDocs(s, d, cand)
+        .select(col("doc_id"), expr("shingle_hashes(text)").as("__sh"))
+      val vsh = docs.select(col("doc_id"), explode(col("__sh")).as("shingle"))
+      val cnt = docs.select(col("doc_id"), size(col("__sh")).as("c"))
+      jaccardCountsFromParts(cand, vsh, cnt)
+    }
+
+  /** Pre-round-13 restricted form: global distinct + groupBy count over the
+    * exploded rows. Kept reachable (knob above) as the A/B baseline and for
+    * the three-way gate spec; the array form replaces its two
+    * candidate-corpus × shingle-scale exchanges with scan-local expressions.
+    */
+  private[graft] def jaccardCountsRestrictedLegacy(s: SparkSession, d: String,
       cand0: DataFrame): DataFrame = {
     val cand = cand0.localCheckpoint()
+    val vsh = hashedShingles(shinglesOf(restrictedDocs(s, d, cand))).distinct()
+    jaccardCountsFrom(cand, vsh)
+  }
+
+  /** The candidate-doc slice of the documents table: semi-join on the ids of
+    * the (checkpointed) candidate pairs. Both restricted forms share it.
+    */
+  private def restrictedDocs(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val ids = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    // Restrict the DOCUMENT frame before the shingle explode, never after: the
-    // explode multiplies rows ~50× (one per 3-gram), so a post-explode
-    // semi-join exchanges every shingle of every doc just to drop most of
-    // them — at sf1000 that is a ~2.6B-row / tens-of-GB shuffle write that
-    // exhausted this box's scratch disk (the fifth decade's one measurement
-    // casualty, round 10). Joining the ~300-byte doc rows first keeps the
-    // exchange at corpus width and the explode runs scan-local on the
-    // candidate subset only. Same rows by construction; the gate spec pins it.
-    val vsh = hashedShingles(shinglesOf(documents(s, d).join(ids, Seq("doc_id"), "left_semi")))
-      .distinct()
-    jaccardCountsFrom(cand, vsh)
+    documents(s, d).join(ids, Seq("doc_id"), "left_semi")
   }
 
   /** Test hook: the cached branch of the gate, for the equivalence spec. */

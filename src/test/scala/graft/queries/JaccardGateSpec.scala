@@ -17,13 +17,20 @@ class JaccardGateSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.orderBy("id_a", "id_b").collect().map(_.toString).toSeq
 
-  test("restricted verify == cached verify, row for row (sf0.001 and sf0.01)") {
+  test("restricted verify (arrays AND legacy) == cached verify, row for row " +
+      "(sf0.001 and sf0.01)") {
     val s = spark
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val cand = TextOps.candidatePairs(s, dir)
       val cached = rows(TextOps.jaccardCountsFromCachedForTest(s, dir, cand))
+      // the shipped restricted form: scan-local array_distinct shingles +
+      // size() counts (round 13 — no distinct/groupBy exchanges)
       val restricted = rows(TextOps.jaccardCountsRestricted(s, dir, cand))
-      assert(restricted === cached, s"gate branches disagree on $dir")
+      // the pre-round-13 form: global distinct + groupBy count — the A/B
+      // baseline SPARK_GRAFT_VERIFY_ARRAYS=0 routes to
+      val legacy = rows(TextOps.jaccardCountsRestrictedLegacy(s, dir, cand))
+      assert(restricted === cached, s"array branch disagrees with cached on $dir")
+      assert(legacy === cached, s"legacy branch disagrees with cached on $dir")
       assert(cached.nonEmpty, s"vacuous compare on $dir — no candidate pairs")
     }
   }
