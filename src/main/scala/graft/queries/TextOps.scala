@@ -85,8 +85,16 @@ object TextOps {
   }
 
   private def distinctShinglesCached(s: SparkSession, d: String): DataFrame = {
+    // sizing is for the CONSUMERS (the verify's count/intersection exchanges
+    // read this cache at exploded width) — the build itself no longer
+    // exchanges: the old global distinct() keyed on (doc_id, shingle) was a
+    // per-doc dedup, now computed inside the scan by the ShingleHashes kernel
     sizeShingleExchange(s, d)
-    distinctShinglesCache.getOrElseUpdate((s, d), hashedShingles(shingles(s, d)).distinct().cache())
+    distinctShinglesCache.getOrElseUpdate((s, d), {
+      graft.functions.ShingleHashes.register(s)
+      documents(s, d).select(col("doc_id"),
+        explode(expr("shingle_hashes(text)")).as("shingle")).cache()
+    })
   }
 
   /** d11's probe frame: distinct word-3-gram shingles over NORMALIZED text —
@@ -98,18 +106,22 @@ object TextOps {
     */
   private[graft] def decontamShinglesOf(docs: DataFrame): DataFrame = {
     graft.functions.NormalizeText.register(docs.sparkSession)
-    // Same scale trade as the d05/d09 verify ([[hashedShingles]]): the overlap
-    // probe compares shingles only by EQUALITY and reports only COUNTS, so
-    // carry xxhash64 of the normalized shingle (16-byte fixed rows) through
-    // the distinct and both join sides instead of ~18-char strings — ~2.5×
-    // less exchange volume. Measured need (round 13, SCALECHECK.md): the
-    // string form's distinct + two-sided shuffle join exhausted the box's
-    // 52 GB scratch disk at sf1000 (50M docs) in stage 1; same wall, same
-    // fix as d09's round-10 campaign. Collision tolerance ~2^-54 per corpus,
-    // documented in the verify skill's triage note; the DuckDB oracle
-    // compares counts, which hashing leaves identical.
-    hashedShingles(
-      shinglesOf(docs.withColumn("text", expr("normalize_text(text)")))).distinct()
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    // Same scale trade as the d05/d09 verify: the overlap probe compares
+    // shingles only by EQUALITY and reports only COUNTS, so carry xxhash64 of
+    // the normalized shingle (16-byte fixed rows) through both join sides
+    // instead of ~18-char strings — ~2.5× less exchange volume. Measured need
+    // (round 13, SCALECHECK.md): the string form's distinct + two-sided
+    // shuffle join exhausted the box's 52 GB scratch disk at sf1000 (50M
+    // docs) in stage 1; same wall, same fix as d09's round-10 campaign.
+    // Collision tolerance ~2^-54 per corpus, documented in the verify
+    // skill's triage note; the DuckDB oracle compares counts, which hashing
+    // leaves identical. The old `distinct()` here was a per-doc dedup in
+    // disguise (doc_id was in its key), so the [[graft.functions.
+    // ShingleHashes]] kernel now computes it INSIDE the scan — identical
+    // rows, no exchange at all in this frame.
+    docs.select(col("doc_id"),
+      explode(expr("shingle_hashes(normalize_text(text))")).as("shingle"))
   }
 
   private val decontamShinglesCache =
@@ -162,24 +174,24 @@ object TextOps {
   private[graft] def decontaminateDocs(docs: DataFrame,
       broadcastEval: Boolean = true): DataFrame = {
     graft.functions.NormalizeText.register(docs.sparkSession)
-    val norm = docs.withColumn("text", expr("normalize_text(text)"))
-    // ONE corpus-scale exchange, total. A plain distinct() exchanges on
-    // (doc_id, shingle) and the join then RE-exchanges the deduped rows on
-    // shingle — two corpus-scale shuffles whose files are live simultaneously
-    // (Spark keeps a query's shuffle files until it ends), which is exactly
-    // what exhausted the 52 GB scratch disk at sf1000 even after hashing
-    // (round-13 attempt 3). Partitioning by shingle FIRST makes one exchange
-    // serve both operators: HashPartitioning(shingle) satisfies the dedup's
-    // ClusteredDistribution(doc_id, shingle) (partitioning exprs ⊆ grouping
-    // keys, so equal (doc_id, shingle) rows are colocated) and is precisely
-    // the join's requirement, so neither plans another corpus shuffle —
-    // PlanAuditSpec pins the single-exchange shape. Skew bound: per-doc
-    // dedup caps a shingle's rows at the doc count sharing it; the hottest
-    // task's hash map spills to sort-fallback rather than OOM.
-    val corpus = hashedShingles(shinglesOf(norm.filter(col("doc_id") % 13 =!= 0)))
-      .repartition(col("shingle"))
-      .dropDuplicates("doc_id", "shingle")
-    val evalSh = hashedShingles(shinglesOf(norm.filter(col("doc_id") % 13 === 0)))
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    // ONE corpus-scale exchange, total — the join's own. History of this
+    // shape (round 13): a plain distinct() exchanged on (doc_id, shingle) and
+    // the join RE-exchanged the deduped rows on shingle — two corpus-scale
+    // shuffles live simultaneously (Spark keeps a query's shuffle files until
+    // it ends), which exhausted the 52 GB scratch disk at sf1000. The first
+    // fix made one repartition(shingle) serve both a dropDuplicates and the
+    // join; the [[graft.functions.ShingleHashes]] kernel then obsoleted the
+    // dedup OPERATOR entirely — (doc_id, shingle) dedup is per-doc (doc_id is
+    // in the key), so the kernel's scan-local distinct array replaces it,
+    // repeated in-doc shingles never even enter the exchange, and no
+    // corpus-scale aggregation hash map exists to spill. PlanAuditSpec pins
+    // the shape: no (doc_id, shingle)-keyed exchange, at most the corpus +
+    // eval shingle exchanges.
+    def sh(side: DataFrame) = side.select(col("doc_id"),
+      explode(expr("shingle_hashes(normalize_text(text))")).as("shingle"))
+    val corpus = sh(docs.filter(col("doc_id") % 13 =!= 0))
+    val evalSh = sh(docs.filter(col("doc_id") % 13 === 0))
       .select("shingle").distinct()
     corpus.join(if (broadcastEval) broadcast(evalSh) else evalSh, Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
@@ -203,9 +215,6 @@ object TextOps {
         explode(when(size(col("tk")) >= 3, sequence(lit(1), size(col("tk")) - 2))
           .otherwise(array().cast("array<int>"))).as("i"))
       .select(col("doc_id"), concat_ws(" ", slice(col("tk"), col("i"), lit(3))).as("shingle"))
-
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(documents(s, d))
 
   /** MinHash signature banded for LSH: (doc_id, band, sig); k=8 hashes, 4 bands of 2.
     * h_j(doc) = min over shingles of md5(j || '|' || shingle); band sig = md5 of the

@@ -123,12 +123,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
-  test("d11 corpus-scale branch: dedup and join share ONE shingle exchange") {
-    // decontaminateDocs repartitions by shingle BEFORE dropDuplicates so the
-    // dedup aggregation AND the shingle join both reuse that one exchange —
-    // the two-live-corpus-shuffles form is what exhausted the sf1000 scratch
-    // disk (SCALECHECK.md round 13). A (doc_id, shingle)-keyed exchange
-    // anywhere means the dedup re-shuffled and the reuse regressed.
+  test("d11 corpus-scale branch: one corpus shingle exchange, no cross-row dedup") {
+    // decontaminateDocs dedupes (doc_id, shingle) INSIDE the scan (the
+    // ShingleHashes kernel's per-doc distinct array), so the only corpus-scale
+    // exchange is the probe join's own — the two-live-corpus-shuffles form is
+    // what exhausted the sf1000 scratch disk (SCALECHECK.md round 13). A
+    // (doc_id, shingle)-keyed exchange anywhere means a cross-row dedup
+    // regressed back into the plan.
     val p = TextOps.decontaminateDocs(
         Tables.documents(spark, sf), broadcastEval = false)
       .queryExecution.executedPlan.toString
