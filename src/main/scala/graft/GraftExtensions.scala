@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CountWordsIn, MinHash8, NormalizeText, RollingFp, SimHash128, SimHash64, TokenCounts, TokenHash16, VecDot}
+import graft.functions.{BigramStats, CountWordsIn, MinHash8, NormalizeText, RollingFp, ShingleHashes, SimHash128, SimHash64, TokenCounts, TokenHash16, VecDot}
 
 /** Cluster-wide registration of graft's native SQL functions via
   * `spark.sql.extensions=graft.GraftExtensions` — the standard way to ship custom
@@ -81,6 +81,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "count_words_in takes two arguments")
         CountWordsIn(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bigram_stats"),
+      new ExpressionInfo(classOf[BigramStats].getName, "bigram_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bigram_stats takes one argument")
+        BigramStats(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingle_hashes takes one argument")
+        ShingleHashes(args.head)
       }))
   }
 }

@@ -24,7 +24,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT token_hash16('hello'), token_hash16('hello', 3), " +
           "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), " +
-          "rolling_fp('abcdefgh').n_windows, simhash64('a b').s0").head()
+          "rolling_fp('abcdefgh').n_windows, simhash64('a b').s0, " +
+          "size(shingle_hashes('a b c d')), bigram_stats('a b c').n_bigrams").head()
       assert(row.getInt(0) === graft.functions.TokenHash.hash16(
         org.apache.spark.unsafe.types.UTF8String.fromString("hello"), 0))
       assert(row.getInt(1) === graft.functions.TokenHash.hash16(
@@ -32,6 +33,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getDouble(2) === 11.0)
       assert(row.getLong(3) === 1L)
       assert(row.getLong(4) >= 0L && row.getLong(4) < 65536L)
+      assert(row.getInt(5) === 2)  // 'a b c d' -> 2 distinct 3-gram shingles
+      assert(row.getLong(6) === 2L) // 'a b c' -> 2 bigrams
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
