@@ -24,6 +24,11 @@ object Bench {
     // Advisory, before ~20 min of sweep can die in b06: the measured
     // 1 GB-heap-per-task wall for large sorted-output queries (Sizing).
     graft.queries.Sizing.adviseTaskMemory(spark)
+    // Scratch preflight, WARN-only here (a sweep must not refuse 64 green
+    // queries because 4 would not fit): flag up front which exchange-heavy
+    // families are predicted to exhaust the scratch volume on this dir.
+    graft.queries.Sizing.ScratchExpansion.keys.toSeq.sorted
+      .foreach(q => graft.queries.Sizing.preflightScratch(spark, sfDir, q))
     // Warmup doubles as CALIBRATION: it spins codegen, shuffle, window, join, and
     // parquet IO machinery on SYNTHETIC data (so the first measured query doesn't
     // absorb one-time session costs), and because the workload is FIXED, its wall
@@ -216,11 +221,27 @@ object Bench {
     val samplesJson = calibrationSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
     val stagesJson = stageTimes.toSeq.sortBy(_._1)
       .map { case (n, t) => f"\"${esc(n)}\":$t%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
+    println(fullJson)
     // Truncation-proof SUMMARY, printed last: the r8 driver capture kept only
     // the tail of the big line, losing the total and 16 rows. A tail capture
     // that retains only the final line still gets the headline from this one.
     println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.length},"failed":${failed.length},"order_seed":$seed,"sf":"$sfDir"}""")
+    // SELF-ARCHIVE the complete artifact: the r12 AND r13 committed bench
+    // files both lost their tails to the driver's stdout-capture window (the
+    // a/b-family rows truncated mid-line, twice). The BENCHROW stream protects
+    // crash postmortems; this file makes the COMPLETE end-of-run JSON
+    // independent of any capture — copy target/bench_last.json when the
+    // captured artifact is suspect. Best-effort: an unwritable target dir
+    // must not fail an otherwise-green bench.
+    try {
+      val p = java.nio.file.Paths.get("target/bench_last.json")
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact archived to $p")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not archive bench_last.json: ${e.getMessage}")
+    }
     Caches.clearAll()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

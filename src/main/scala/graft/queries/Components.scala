@@ -92,7 +92,7 @@ object Components {
     // SPARK_GRAFT_RETIRE_PAIRS=0/1 (operator A/B knob, same human-outranks-
     // heuristic contract as SPARK_GRAFT_SHUFFLE_PARTITIONS) > the size gate.
     val doRetire = retirePairs
-      .orElse(sys.env.get("SPARK_GRAFT_RETIRE_PAIRS").map(_ == "1"))
+      .orElse(Knobs.bool("SPARK_GRAFT_RETIRE_PAIRS"))
       .getOrElse(sym.count() >= RetireMinSymRows)
     val (pairLabels, residual) = if (!doRetire) {
       logLine(f"stage=retire_pairs skipped=true sec=${(System.nanoTime() - tRet) / 1e9}%.2f")

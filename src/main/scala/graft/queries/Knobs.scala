@@ -1,0 +1,29 @@
+package graft.queries
+
+/** Strict parsing for the operator A/B env knobs
+  * (`SPARK_GRAFT_RETIRE_PAIRS`, `SPARK_GRAFT_D11_CACHE`,
+  * `SPARK_GRAFT_VERIFY_ARRAYS`).
+  *
+  * Only the literal strings "0" and "1" are meaningful; anything else
+  * (an accidental "true", "yes", or empty export) warns once per lookup and
+  * falls through to the caller's built-in gate. Before round 14 the three
+  * knobs disagreed on this: two parsed `map(_ == "1")` (so "true" silently
+  * force-DISABLED the feature at scales where it wins 2x) and one parsed
+  * `contains("0")` (so garbage silently forced it ON) — an inconsistency
+  * that invites misrun A/B legs, where one mistyped export measures the
+  * wrong branch without any tell in the log.
+  */
+object Knobs {
+  /** Some(true)/Some(false) for "1"/"0"; None (with a stderr warning) for any
+    * other set value; None silently when unset.
+    */
+  def bool(name: String): Option[Boolean] =
+    sys.env.get(name).flatMap {
+      case "0" => Some(false)
+      case "1" => Some(true)
+      case other =>
+        System.err.println(s"[graft] ignoring $name='$other' (expected 0 or " +
+          "1); falling through to the built-in gate")
+        None
+    }
+}

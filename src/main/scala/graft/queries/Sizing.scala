@@ -97,6 +97,16 @@ object Sizing {
   def maxUsefulParallelism(heapBytes: Long): Int =
     math.max(1, (heapBytes / HeapPerTaskBytes).toInt)
 
+  /** Measured heap-per-task margin for SAME-JVM REPETITION of fifth-decade
+    * exchange-heavy queries (the bench/probe rep>=2 shape). The r13 sf1000
+    * d11 probes measured the gap directly: 8g/local[16] (0.5 GB/task) runs
+    * rep 1 green and dies UNABLE_TO_ACQUIRE_MEMORY on rep 2 — three repros,
+    * on BOTH d11 plan forms — while 12g/local[16] (0.75 GB/task) runs both
+    * reps green with rep 2 faster. One completion per JVM is fine at
+    * 0.5 GB/task; repeating in-JVM wants this margin on top.
+    */
+  val RepeatHeapPerTaskBytes: Long = (3L << 30) / 4
+
   /** Startup advisory: compare the session's actual heap-per-task density
     * against [[HeapPerTaskBytes]] and return the warning line (also printed
     * to stderr) when the shape is below the measured wall, None when it is
@@ -105,10 +115,23 @@ object Sizing {
     * minutes of sweep die in b06, what the round-12 campaign had to find by
     * dying there.
     */
-  def adviseTaskMemory(s: SparkSession): Option[String] = {
-    val heap = Runtime.getRuntime.maxMemory
-    val slots = s.sparkContext.defaultParallelism
-    if (slots <= 0 || heap / math.max(1, slots) >= HeapPerTaskBytes) None
+  def adviseTaskMemory(s: SparkSession): Option[String] =
+    adviseTaskMemoryFor(s.sparkContext.master,
+      Runtime.getRuntime.maxMemory, s.sparkContext.defaultParallelism)
+
+  /** [[adviseTaskMemory]]'s decision, pure for testability. The density math
+    * (driver `Runtime.maxMemory` / `defaultParallelism`) is only meaningful
+    * under a `local[N]` master, where the driver JVM IS the executor: on a
+    * standalone/YARN/k8s master, defaultParallelism counts CLUSTER-wide cores
+    * while maxMemory is the driver heap, so the ratio is noise and the
+    * advisory would fire spuriously (or stay silent wrongly) — there the
+    * density to check is `spark.executor.memory` / executor cores, which the
+    * cluster operator sizes, not this process. Non-local masters return None.
+    */
+  private[graft] def adviseTaskMemoryFor(master: String, heap: Long,
+      slots: Int): Option[String] = {
+    if (!master.startsWith("local")) None
+    else if (slots <= 0 || heap / math.max(1, slots) >= HeapPerTaskBytes) None
     else {
       val perTask = heap / slots
       // ASCII only: the forked JVM's default stderr encoding mangles em-dashes
@@ -117,11 +140,91 @@ object Sizing {
         f"measured ${HeapPerTaskBytes / (1L << 30)}%d GB/task wall for large " +
         f"sorted-output queries - prefer <= ${maxUsefulParallelism(heap)}%d " +
         "cores at this heap (SCALECHECK.md round 12: 8g/32 and 8g/16 both " +
-        "OOM'd b06/b18 at sf100; 16g/16 completed 68/68)"
+        "OOM'd b06/b18 at sf100; 16g/16 completed 68/68); repeating " +
+        "exchange-heavy queries in the SAME JVM wants >= " +
+        f"${RepeatHeapPerTaskBytes / (1L << 20)}%d MB/task " +
+        "(r13 sf1000: 0.5 GB/task ran rep 1 green, OOM'd rep 2; 0.75 GB/task " +
+        "ran both)"
       System.err.println(msg)
       Some(msg)
     }
   }
+
+  /** Peak-scratch-bytes : compressed-documents-footprint expansion ratios for
+    * the fifth-decade exchange-heavy query families, measured at sf1000
+    * (5.6 GB documents table, SCALECHECK.md rounds 10-13). Shuffle files stay
+    * live for ALL stages of one query, so the peak is the whole chain's sum:
+    *
+    *   - d11 (single-exchange pushed-down decontam): ~28 GB peak = 5x
+    *   - d05/d09 (band join + hashed-Jaccard verify): ~50 GB peak = 9x
+    *   - d10 (exact dedup + verify + components + anti-join, end-to-end):
+    *     LOWER BOUND 9.1x — the kernel-plan attempt died `No space left on
+    *     device` with 51 GB free; 12x adds the same shortfall-is-fatal margin
+    *     the partition rule uses (a preflight that lands a few GB under the
+    *     true peak converts a refusal into an hour-long crash).
+    *
+    * Four fifth-decade runs in round 13 died (or were blocked) on scratch
+    * exhaustion MID-RUN, each after minutes-to-hours of useful work;
+    * [[preflightScratch]] turns that failure mode into pre-launch guidance.
+    */
+  val ScratchExpansion: Map[String, Double] = Map(
+    "d05_jaccard" -> 9.0,
+    "d09_dedup_clusters" -> 9.0,
+    "d10_clean_corpus" -> 12.0,
+    "d11_decontam" -> 5.0)
+
+  /** Usable bytes on Spark's shuffle-scratch volume: the first configured
+    * local dir (`spark.local.dir` / `SPARK_LOCAL_DIRS`), falling back to the
+    * JVM tmpdir — the same resolution order Spark's DiskBlockManager uses for
+    * a local master. On a real cluster the check belongs on each executor's
+    * local dirs; this driver-side read is exact for local[N].
+    */
+  def usableScratchBytes(s: SparkSession): Long = {
+    val dir = s.sparkContext.getConf.getOption("spark.local.dir")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      .split(",").head.trim
+    new java.io.File(dir).getUsableSpace
+  }
+
+  /** Scratch-disk preflight: estimate `query`'s peak live shuffle bytes on
+    * `dataDir` from the documents footprint x the family's measured
+    * [[ScratchExpansion]], compare against [[usableScratchBytes]], and return
+    * the refusal line (also printed to stderr) when the estimate does not
+    * fit. None when it fits, when the query has no measured family ratio, or
+    * when the footprint is unknowable (-1) — the preflight must never block
+    * a run on missing metadata, only on evidence. Callers choose the policy:
+    * PlanProbe refuses (override: SPARK_GRAFT_PREFLIGHT=0), Bench warns.
+    */
+  def preflightScratch(s: SparkSession, dataDir: String,
+      query: String): Option[String] =
+    preflightScratch(s, dataDir, query, ScratchExpansion)
+
+  /** [[preflightScratch]] with the family-ratio table injectable (specs pin
+    * both the fires and the fits branch without depending on the box's free
+    * scratch).
+    */
+  private[graft] def preflightScratch(s: SparkSession, dataDir: String,
+      query: String, expansion: Map[String, Double]): Option[String] =
+    expansion.get(query).flatMap { x =>
+      val docBytes = footprintBytesCached(s, s"$dataDir/documents.parquet")
+      if (docBytes < 0) None
+      else {
+        val est = (docBytes * x).toLong
+        val usable = usableScratchBytes(s)
+        if (est <= usable) None
+        else {
+          val msg = f"[graft] scratch preflight: $query%s on $dataDir%s " +
+            f"wants ~${est >> 30}%d GB of live shuffle files " +
+            f"(${docBytes >> 20}%d MB documents x ${x}%.0fx measured " +
+            f"family peak, SCALECHECK.md) but the scratch volume has only " +
+            f"${usable >> 30}%d GB usable - free scratch or override with " +
+            "SPARK_GRAFT_PREFLIGHT=0"
+          System.err.println(msg)
+          Some(msg)
+        }
+      }
+    }
 
   private val sized =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]

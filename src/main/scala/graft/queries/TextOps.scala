@@ -26,6 +26,17 @@ object TextOps {
     * Staleness contract: entries key on (session, dir) and are never invalidated —
     * fine for the harness (immutable inputs, short-lived session); long-lived
     * sessions that rewrite inputs must call [[clearCaches]].
+    *
+    * Lifecycle contract: the maps hold STRONG references to their
+    * SparkSession keys and grow one entry per (session, dir) forever — sized
+    * for the declared deployment shape (CLI/bench/verify lifecycles, one
+    * short-lived session per JVM). A long-running multi-session service (a
+    * Thrift/Connect front-end) would accumulate cached frames per dead
+    * session; such a deployment must call [[clearCaches]] on session teardown
+    * (or these keys need weakening to session-id + a listener). Same contract
+    * on [[Sizing]]'s footprint/sizing maps, [[graft.queries.Hierarchy]]'s and
+    * [[graft.queries.VectorOps]]'s caches — [[graft.Caches.clearAll]] is the
+    * one-call teardown.
     */
   private val bandsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -170,9 +181,17 @@ object TextOps {
     * hashed-shingle column over 1/13 of the corpus, the corpus side 12/13,
     * nothing is read twice, and no cache exists to compound the disk
     * pressure.
+    *
+    * `broadcastEval` defaults FALSE here, unlike [[decontaminateFrom]]: this
+    * function exists specifically as the corpus-scale path (the footprint
+    * gate routes everything >= 256 MB through it), and its eval side grows
+    * 1:1 with the corpus — a defaulted broadcast hint is exactly the r10
+    * scale bug (forced broadcast of a ~512 MB hashed relation,
+    * UNABLE_TO_ACQUIRE_MEMORY re-inflating it per task). Small-corpus callers
+    * who know the slice is tiny opt in explicitly.
     */
   private[graft] def decontaminateDocs(docs: DataFrame,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = false): DataFrame = {
     graft.functions.NormalizeText.register(docs.sparkSession)
     graft.functions.ShingleHashes.register(docs.sparkSession)
     // ONE corpus-scale exchange, total — the join's own. History of this
@@ -301,11 +320,20 @@ object TextOps {
       }
     }),
     "text-decontam" -> (() => {
-      // same gate as the d11 entry: above it no query reads this cache, and
+      // SAME branch chain as the d11 entry (knob > footprint gate), so the
+      // prewarm builds the cache exactly when a query will read it: with
+      // SPARK_GRAFT_D11_CACHE=1 forced above the footprint gate, warmup must
+      // still build (or the first timed d11 rep absorbs the build — the
+      // attribution skew prewarm exists to prevent); with it forced to 0
+      // below the gate, warmup must NOT build a cache no query reads (the
+      // eviction/disk pressure would contaminate the A/B's no-cache leg).
+      // Without the knob: above the gate no query reads this cache, and
       // building it would evict the caches that do serve (and spill its
-      // corpus-sized blocks to the scratch disk the shuffles need)
+      // corpus-sized blocks to the scratch disk the shuffles need).
       val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
-      if (fp >= 0 && fp < CachedVerifyMaxDocBytes) {
+      val useCache = Knobs.bool("SPARK_GRAFT_D11_CACHE")
+        .getOrElse(fp >= 0 && fp < CachedVerifyMaxDocBytes)
+      if (useCache) {
         decontamShinglesCached(s, d).count(); ()
       }
     }))
@@ -459,7 +487,7 @@ object TextOps {
     */
   private[graft] def jaccardCountsRestricted(s: SparkSession, d: String,
       cand0: DataFrame): DataFrame =
-    if (sys.env.get("SPARK_GRAFT_VERIFY_ARRAYS").contains("0"))
+    if (Knobs.bool("SPARK_GRAFT_VERIFY_ARRAYS").contains(false))
       jaccardCountsRestrictedLegacy(s, d, cand0)
     else {
       graft.functions.ShingleHashes.register(s)
@@ -834,7 +862,7 @@ object TextOps {
       // footprint gate. DecontamSpec pins row-parity between the branches, so
       // the knob can only trade speed, never rows.
       val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
-      val useCache = sys.env.get("SPARK_GRAFT_D11_CACHE").map(_ == "1")
+      val useCache = Knobs.bool("SPARK_GRAFT_D11_CACHE")
         .getOrElse(fp >= 0 && fp < CachedVerifyMaxDocBytes)
       if (useCache)
         decontaminateFrom(decontamShinglesCached(s, d),

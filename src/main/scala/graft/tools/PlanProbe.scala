@@ -29,6 +29,18 @@ object PlanProbe {
       .config("spark.log.level", "WARN")
       .getOrCreate()
     graft.queries.Sizing.adviseTaskMemory(spark)
+    // Scratch-disk preflight: four round-13 fifth-decade runs died on
+    // `No space left on device` MID-RUN; refuse up front when the family's
+    // measured peak shuffle footprint cannot fit the scratch volume.
+    // SPARK_GRAFT_PREFLIGHT=0 overrides (a human who just freed space or
+    // accepts the risk outranks the estimate).
+    graft.queries.Sizing.preflightScratch(spark, dir, name).foreach { msg =>
+      if (!graft.queries.Knobs.bool("SPARK_GRAFT_PREFLIGHT").contains(false)) {
+        println(s"PREFLIGHT REFUSED: $msg")
+        spark.stop()
+        sys.exit(2)
+      } else println(s"PREFLIGHT overridden (SPARK_GRAFT_PREFLIGHT=0): $msg")
+    }
     try {
       val q = graft.SparkEntry.queries(name)
       println(s"=== $name @ $dir ===")

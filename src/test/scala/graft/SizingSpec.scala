@@ -248,4 +248,60 @@ class SizingSpec extends AnyFunSuite {
       assert(msg.contains("GB/task wall") && msg.contains("cores at this heap"))
     }
   }
+
+  test("adviseTaskMemoryFor is local-master-only and carries the repeat margin") {
+    // under-the-wall density on a local master: fires, and the message now
+    // includes the measured same-JVM-repeat margin (r13 sf1000: 0.5 GB/task
+    // ran rep 1 green and OOM'd rep 2; 0.75 GB/task ran both reps)
+    val low = Sizing.adviseTaskMemoryFor("local[32]", 8L << 30, 32)
+    assert(low.isDefined)
+    assert(low.get.contains("SAME JVM") &&
+      low.get.contains(s"${Sizing.RepeatHeapPerTaskBytes >> 20} MB/task"),
+      s"advisory must state the repeat margin: ${low.get}")
+    // at-or-above-the-wall density: silent
+    assert(Sizing.adviseTaskMemoryFor("local[16]", 16L << 30, 16).isEmpty)
+    // non-local masters: the driver-heap / cluster-cores ratio is noise
+    // (defaultParallelism counts cluster cores, maxMemory is the driver heap),
+    // so the advisory must stay silent even at an apparently-awful density
+    assert(Sizing.adviseTaskMemoryFor("spark://host:7077", 8L << 30, 1024).isEmpty)
+    assert(Sizing.adviseTaskMemoryFor("yarn", 8L << 30, 1024).isEmpty)
+  }
+
+  test("RepeatHeapPerTaskBytes sits between the measured rep-2 shapes") {
+    // 8g/16 = 512 MB/task OOM'd rep 2; 12g/16 = 768 MB/task ran both reps
+    assert(Sizing.RepeatHeapPerTaskBytes > (8L << 30) / 16)
+    assert(Sizing.RepeatHeapPerTaskBytes <= (12L << 30) / 16)
+  }
+
+  test("preflightScratch fires iff the family estimate exceeds usable scratch") {
+    // a real (tiny) documents table so the footprint probe resolves
+    val tmp = java.nio.file.Files.createTempDirectory("graft-preflight").toString
+    spark.range(100).selectExpr("id as doc_id", "cast(id as string) as text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      // absurd expansion: a few KB of docs x 1e12 cannot fit any disk → fires
+      val fired = Sizing.preflightScratch(spark, tmp, "d10_clean_corpus",
+        Map("d10_clean_corpus" -> 1e12))
+      assert(fired.isDefined && fired.get.contains("SPARK_GRAFT_PREFLIGHT=0"))
+      // zero expansion: always fits → silent
+      assert(Sizing.preflightScratch(spark, tmp, "d10_clean_corpus",
+        Map("d10_clean_corpus" -> 0.0)).isEmpty)
+      // unmeasured family: no ratio, no opinion
+      assert(Sizing.preflightScratch(spark, tmp, "b01_project",
+        Sizing.ScratchExpansion).isEmpty)
+      // unknowable footprint (missing table): must not block on missing metadata
+      assert(Sizing.preflightScratch(spark, "/nonexistent/graft-preflight",
+        "d10_clean_corpus", Map("d10_clean_corpus" -> 1e12)).isEmpty)
+    } finally Sizing.clearCache()
+  }
+
+  test("ScratchExpansion pins the measured sf1000 family ratios") {
+    // 5.6 GB docs → d11 ~28 GB peak (5x), d05/d09 ~50 GB (9x), d10 > 9.1x
+    // (died with 51 GB free) + the shortfall-is-fatal margin
+    assert(Sizing.ScratchExpansion("d11_decontam") === 5.0)
+    assert(Sizing.ScratchExpansion("d05_jaccard") === 9.0)
+    assert(Sizing.ScratchExpansion("d09_dedup_clusters") === 9.0)
+    assert(Sizing.ScratchExpansion("d10_clean_corpus") > 51.0 / 5.6,
+      "d10's ratio must exceed the measured lower bound (died at 51 GB free / 5.6 GB docs)")
+  }
 }
