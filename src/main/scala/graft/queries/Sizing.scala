@@ -174,14 +174,15 @@ object Sizing {
     "d11_decontam" -> 5.0)
 
   /** Usable bytes on Spark's shuffle-scratch volume: the first configured
-    * local dir (`spark.local.dir` / `SPARK_LOCAL_DIRS`), falling back to the
-    * JVM tmpdir — the same resolution order Spark's DiskBlockManager uses for
-    * a local master. On a real cluster the check belongs on each executor's
-    * local dirs; this driver-side read is exact for local[N].
+    * local dir, resolved in the order Spark's own local-dir lookup uses for a
+    * local master — `SPARK_LOCAL_DIRS` env OVERRIDES `spark.local.dir` conf
+    * (Utils.getConfiguredLocalDirs), falling back to the JVM tmpdir. On a
+    * real cluster the check belongs on each executor's local dirs; this
+    * driver-side read is exact for local[N].
     */
   def usableScratchBytes(s: SparkSession): Long = {
-    val dir = s.sparkContext.getConf.getOption("spark.local.dir")
-      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+    val dir = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(s.sparkContext.getConf.getOption("spark.local.dir"))
       .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
       .split(",").head.trim
     new java.io.File(dir).getUsableSpace
