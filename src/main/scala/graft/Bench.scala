@@ -159,12 +159,20 @@ object Bench {
     }
     var mids = List.empty[(String, Double)]
     var curMid = Double.NaN
+    // Per-query spill/shuffle attribution (r14): three zero-code-delta sf100
+    // sweep rows spiked ~2x vs their standalone probes with quiet CPU mids —
+    // memory-pool churn against the warm cache pool, invisible to a CPU
+    // mini-calibration. Spill bytes are that class's direct signal, so every
+    // row now carries its delta (summed across SPARK_GRAFT_RUNS reps).
+    val stageMetrics = new StageMetrics
+    spark.sparkContext.addSparkListener(stageMetrics)
     val ordered = new scala.util.Random(seed).shuffle(
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) })
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i % 8 == 0) { curMid = miniCalibration(); mids ::= (name, curMid) }
       var err: Option[String] = None
+      val (spill0, shuffle0) = stageMetrics.snapshot
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         if (err.isEmpty) {
@@ -180,6 +188,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      val (spill1, shuffle1) = stageMetrics.snapshot
+      val spillMb = (spill1 - spill0) / (1 << 20)
+      val shuffleMb = (shuffle1 - shuffle0) / (1 << 20)
       val median = times(times.length / 2)
       // stream one line per COMPLETED query, immediately: the round-11 sf100
       // sweep died fatally (heap OOM in d08) with ~9 minutes of finished
@@ -189,11 +200,11 @@ object Bench {
       // stdout JSON lines) is unchanged and a crashed run still leaves its
       // partial sweep greppable from the log.
       val rowJson = err match {
-        case None => s"""{"q":"${esc(name)}","sec":$median,"mid":$curMid}"""
+        case None => s"""{"q":"${esc(name)}","sec":$median,"mid":$curMid,"spill_mb":$spillMb,"shuffle_mb":$shuffleMb}"""
         case Some(e) => s"""{"q":"${esc(name)}","err":"${esc(e)}","mid":$curMid}"""
       }
       System.err.println(s"BENCHROW $rowJson")
-      (name, median, err, curMid)
+      (name, median, err, curMid, spillMb, shuffleMb)
     }.sortBy(_._1)
     // Per-row contention SELF-CLASSIFICATION: a row whose nearest preceding
     // mini-calibration sample exceeded 2× the run's median mini-calibration ran
@@ -205,12 +216,20 @@ object Bench {
       if (v.isEmpty) Double.NaN else v(v.length / 2)
     }
     val qs = results.map {
-      case (k, v, None, mid) if !midMedian.isNaN && mid > 2 * midMedian =>
+      case (k, v, None, mid, _, _) if !midMedian.isNaN && mid > 2 * midMedian =>
         s"\"${esc(k)}\":{\"sec\":$v,\"contended\":true}"
-      case (k, v, None, _) => s"\"${esc(k)}\":$v"
-      case (k, _, Some(e), _) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
+      case (k, v, None, _, _, _) => s"\"${esc(k)}\":$v"
+      case (k, _, Some(e), _, _, _) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None, _) => v }.sum + cacheBuild
+    // per-query executor spill (memory+disk) and shuffle-write deltas, MB —
+    // the memory-pressure signal the contended flag's CPU probe cannot see
+    val spillJson = results
+      .map { case (k, _, _, _, sp, _) => s"\"${esc(k)}\":$sp" }
+      .mkString("{", ",", "}")
+    val shuffleJson = results
+      .map { case (k, _, _, _, _, sh) => s"\"${esc(k)}\":$sh" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None, _, _, _) => v }.sum + cacheBuild
     // the SAME fixed workload re-timed after the last query: one start-of-run sample
     // can't see mid-run contention drift (the round-5 driver run started ~10x
     // contended and got ~27x worse by cache_build); start+end brackets the run
@@ -221,7 +240,7 @@ object Bench {
     val samplesJson = calibrationSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
     val stagesJson = stageTimes.toSeq.sortBy(_._1)
       .map { case (n, t) => f"\"${esc(n)}\":$t%.3f" }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spill_mb":$spillJson,"shuffle_mb":$shuffleJson,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
     println(fullJson)
     // Truncation-proof SUMMARY, printed last: the r8 driver capture kept only
     // the tail of the big line, losing the total and 16 rows. A tail capture

@@ -1,0 +1,38 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Accumulates executor spill and shuffle-write bytes across completed stages,
+  * so the measurement harnesses can attribute MEMORY-PRESSURE cost per query.
+  *
+  * Motivation (round 14): three zero-code-delta sf100 sweep rows spiked ~2×
+  * vs their standalone probes with every CPU mini-calibration sample quiet —
+  * sweep rows cohabit with the warm cache pool, and execution-memory-hungry
+  * sort/window shapes pay storage-vs-execution eviction churn a ~50 ms CPU
+  * probe cannot see. Spill bytes are the direct signal for that class: a row
+  * whose wall doubles while its spill delta explodes is memory-pool
+  * contention, not a plan regression.
+  *
+  * Deltas are read by snapshotting [[snapshot]] around a query. The listener
+  * bus posts stage events ASYNCHRONOUSLY, so a stage finishing exactly at a
+  * query boundary can attribute to the neighbor — millisecond-scale lag
+  * against multi-second queries, fine for a diagnostic signal, not an exact
+  * accounting.
+  */
+final class StageMetrics extends SparkListener {
+  private val spilledB = new AtomicLong
+  private val shuffleB = new AtomicLong
+
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+    val tm = ev.stageInfo.taskMetrics
+    if (tm != null) {
+      spilledB.addAndGet(tm.memoryBytesSpilled + tm.diskBytesSpilled)
+      shuffleB.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+      ()
+    }
+  }
+
+  /** (spilledBytes, shuffleWriteBytes) accumulated since attach. */
+  def snapshot: (Long, Long) = (spilledB.get, shuffleB.get)
+}

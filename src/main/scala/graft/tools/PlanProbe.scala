@@ -43,15 +43,23 @@ object PlanProbe {
     }
     try {
       val q = graft.SparkEntry.queries(name)
+      // per-rep spill/shuffle deltas (r14): the memory-pressure signal that
+      // separates a plan regression from cache-cohabitation churn — see
+      // [[graft.StageMetrics]]
+      val metrics = new graft.StageMetrics
+      spark.sparkContext.addSparkListener(metrics)
       println(s"=== $name @ $dir ===")
       q(spark, dir).explain("formatted")
       for (i <- 1 to reps) {
+        val (sp0, sh0) = metrics.snapshot
         val t0 = System.nanoTime()
         // noop sink, same as Bench: count() would let Catalyst prune every
         // column and time a projection query as a metadata-only scan
         q(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"PROBE rep=$i sec=$sec%.2f")
+        val (sp1, sh1) = metrics.snapshot
+        println(f"PROBE rep=$i sec=$sec%.2f " +
+          f"spill_mb=${(sp1 - sp0) / (1 << 20)}%d shuffle_mb=${(sh1 - sh0) / (1 << 20)}%d")
       }
     } finally spark.stop()
   }
