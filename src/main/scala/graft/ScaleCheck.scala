@@ -301,6 +301,23 @@ object ScaleCheck {
       // instead of tripping the ownership require above — the guard stays
       // strict only for directories some OTHER process produced.
       java.nio.file.Files.createDirectories(new java.io.File(dst).toPath)
+      // Synthesis-output preflight (r14, sibling of Sizing.preflightScratch):
+      // the output parquet is ~src footprint x reps on the SAME volume the
+      // shuffles scratch on, and a half-written decade is an hour-class loss.
+      // WARN-only — the r13 d10 death was absorbed headroom from exactly this
+      // class of write, but a human resynthesizing on purpose (having just
+      // freed space) must not be refused by an estimate.
+      val srcBytes = synthTables.toSeq.map(t =>
+        graft.queries.Sizing.footprintBytesCached(spark, s"$srcDir/$t.parquet"))
+      if (srcBytes.forall(_ >= 0)) {
+        val est = srcBytes.sum * reps
+        val usable = new java.io.File(dst).getUsableSpace
+        if (est > usable) System.err.println(
+          s"[graft] synthesis preflight: $dst wants ~${est >> 30} GB " +
+            s"(${srcBytes.sum >> 20} MB src x $reps reps) but the volume has " +
+            s"only ${usable >> 30} GB usable - the run will likely die " +
+            "mid-write; free space first")
+      }
       java.nio.file.Files.write(marker.toPath, s"$synthStamp IN-PROGRESS".getBytes("UTF-8"))
       val t0 = System.nanoTime()
       synthesize(spark, srcDir, dst, reps, synthTables, repOffset)
