@@ -6,6 +6,27 @@ import org.apache.spark.sql.SparkSession
   * than no bench.
   */
 object Bench {
+  /** Settled-calibration wall of a QUIET box for this fixed workload —
+    * the rolling clean median across rounds 12–14 is ~0.9–1.0 s (sf0.1
+    * calibrations 1.005/0.92/0.75; see the verify skill's contention gate).
+    * Overridable for a genuinely different box via
+    * SPARK_GRAFT_CLEAN_CALIBRATION.
+    */
+  def cleanCalibrationSec: Double =
+    sys.env.get("SPARK_GRAFT_CLEAN_CALIBRATION").map(_.toDouble).getOrElse(1.0)
+
+  /** The contention gate's threshold, pure for testability: a settled
+    * calibration above 2x the clean-box median means the whole run executed
+    * on a contended box and its walls must not be read as regressions
+    * (the r13 driver bench was accepted 3x contended and minted a phantom
+    * +64% total). The gate self-enforces via stderr + the artifact's
+    * "contended_run" field; it never aborts — a contended run still proves
+    * correctness (exit codes, err fields) even when its walls are unusable.
+    */
+  def isContended(calibration: Double,
+      cleanMedian: Double = cleanCalibrationSec): Boolean =
+    calibration > 2.0 * cleanMedian
+
   def main(args: Array[String]): Unit = {
     JvmCheck.warnIfModulesClosed()
     // f"...%.3f" is default-locale-sensitive; a comma decimal separator
@@ -24,11 +45,21 @@ object Bench {
     // Advisory, before ~20 min of sweep can die in b06: the measured
     // 1 GB-heap-per-task wall for large sorted-output queries (Sizing).
     graft.queries.Sizing.adviseTaskMemory(spark)
+    // SPARK_GRAFT_ONLY=csv-of-names limits the run (dev tool for isolating
+    // queries); read here because the preflight below must not warn about
+    // families the filter excludes from the run entirely.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Scratch preflight, WARN-only here (a sweep must not refuse 64 green
     // queries because 4 would not fit): flag up front which exchange-heavy
-    // families are predicted to exhaust the scratch volume on this dir.
+    // families IN THIS RUN are predicted to exhaust the scratch volume on
+    // this dir. The tail is warn-phrased — Bench never refuses, so the
+    // default message's SPARK_GRAFT_PREFLIGHT=0 override would be guidance
+    // for a refusal that is not going to happen.
     graft.queries.Sizing.ScratchExpansion.keys.toSeq.sorted
-      .foreach(q => graft.queries.Sizing.preflightScratch(spark, sfDir, q))
+      .filter(q => only.forall(_.contains(q)))
+      .foreach(q => graft.queries.Sizing.preflightScratch(spark, sfDir, q,
+        graft.queries.Sizing.ScratchExpansion,
+        tail = "expect a mid-run disk death for this row (warn-only: the bench proceeds)"))
     // Warmup doubles as CALIBRATION: it spins codegen, shuffle, window, join, and
     // parquet IO machinery on SYNTHETIC data (so the first measured query doesn't
     // absorb one-time session costs), and because the workload is FIXED, its wall
@@ -68,6 +99,16 @@ object Bench {
       buf.toList
     }
     val calibration: Double = calibrationSamples.last
+    // Self-enforcing contention gate (r15): the rule lived only in the verify
+    // skill ("settled calibration > 2x the clean median → re-run before
+    // recording") and depended on a human reading the JSON; now the run
+    // itself says so, and the artifact carries the verdict.
+    val contendedRun = isContended(calibration)
+    if (contendedRun) System.err.println(
+      f"[bench] WARNING: settled calibration $calibration%.2f s exceeds " +
+        f"${2.0 * cleanCalibrationSec}%.1f s (2x the clean-box median " +
+        f"~${cleanCalibrationSec}%.1f s) - this run is CONTENDED; re-run " +
+        "before recording its walls (verify skill, contention gate)")
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -75,8 +116,6 @@ object Bench {
       case c => c.toString
     }
     var failed = List.empty[String]
-    // SPARK_GRAFT_ONLY=csv-of-names limits the run (dev tool for isolating queries)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Build the shared cached intermediates (hierarchy nodes, shingles/bands/simhash)
     // up front and report the cost as its own line item, so the alphabetically-first
     // query touching each cache doesn't absorb the build (round-3 bench had a08 at
@@ -164,15 +203,26 @@ object Bench {
     // memory-pool churn against the warm cache pool, invisible to a CPU
     // mini-calibration. Spill bytes are that class's direct signal, so every
     // row now carries its delta (summed across SPARK_GRAFT_RUNS reps).
+    // Attached AFTER the concurrent cache prewarm on purpose: up to 7 builds
+    // interleave on the async bus there, so prewarm-phase stage deltas would
+    // not be per-stage truth — per-query rows below run serially and drain
+    // the bus at each boundary, so THEIR deltas are attributable.
     val stageMetrics = new StageMetrics
     spark.sparkContext.addSparkListener(stageMetrics)
+    // drain the async listener bus before reading a boundary snapshot: a
+    // heavy final stage completing exactly at the boundary would otherwise
+    // attribute its spill to the NEIGHBORING row (still approximate — see
+    // StageMetrics.drain)
+    def drainedSnapshot(): (Long, Long) = {
+      StageMetrics.drain(spark); stageMetrics.snapshot
+    }
     val ordered = new scala.util.Random(seed).shuffle(
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) })
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i % 8 == 0) { curMid = miniCalibration(); mids ::= (name, curMid) }
       var err: Option[String] = None
-      val (spill0, shuffle0) = stageMetrics.snapshot
+      val (spill0, shuffle0) = drainedSnapshot()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         if (err.isEmpty) {
@@ -188,7 +238,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val (spill1, shuffle1) = stageMetrics.snapshot
+      val (spill1, shuffle1) = drainedSnapshot()
       val spillMb = (spill1 - spill0) / (1 << 20)
       val shuffleMb = (shuffle1 - shuffle0) / (1 << 20)
       val median = times(times.length / 2)
@@ -240,7 +290,7 @@ object Bench {
     val samplesJson = calibrationSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
     val stagesJson = stageTimes.toSeq.sortBy(_._1)
       .map { case (n, t) => f"\"${esc(n)}\":$t%.3f" }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spill_mb":$spillJson,"shuffle_mb":$shuffleJson,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spill_mb":$spillJson,"shuffle_mb":$shuffleJson,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"contended_run":$contendedRun,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
     println(fullJson)
     // Truncation-proof SUMMARY, printed last: the r8 driver capture kept only
     // the tail of the big line, losing the total and 16 rows. A tail capture

@@ -310,12 +310,19 @@ object ScaleCheck {
       val srcBytes = synthTables.toSeq.map(t =>
         graft.queries.Sizing.footprintBytesCached(spark, s"$srcDir/$t.parquet"))
       if (srcBytes.forall(_ >= 0)) {
+        // reps is the FULL replica count this call writes even when
+        // repOffset > 0 — the offset shifts the content-transform SEEDS only
+        // (see synthesize), and any stale dst was wiped above before this
+        // branch, so src x reps is exact for the bytes about to land.
         val est = srcBytes.sum * reps
         val usable = new java.io.File(dst).getUsableSpace
+        // sub-GiB estimates render in MB: `est >> 30` would print "~0 GB"
+        def human(b: Long): String =
+          if (b >= (1L << 30)) s"~${b >> 30} GB" else s"~${b >> 20} MB"
         if (est > usable) System.err.println(
-          s"[graft] synthesis preflight: $dst wants ~${est >> 30} GB " +
+          s"[graft] synthesis preflight: $dst wants ${human(est)} " +
             s"(${srcBytes.sum >> 20} MB src x $reps reps) but the volume has " +
-            s"only ${usable >> 30} GB usable - the run will likely die " +
+            s"only ${human(usable)} usable - the run will likely die " +
             "mid-write; free space first")
       }
       java.nio.file.Files.write(marker.toPath, s"$synthStamp IN-PROGRESS".getBytes("UTF-8"))

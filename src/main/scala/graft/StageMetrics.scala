@@ -2,6 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 
 /** Accumulates executor spill and shuffle-write bytes across completed stages,
   * so the measurement harnesses can attribute MEMORY-PRESSURE cost per query.
@@ -35,4 +36,25 @@ final class StageMetrics extends SparkListener {
 
   /** (spilledBytes, shuffleWriteBytes) accumulated since attach. */
   def snapshot: (Long, Long) = (spilledB.get, shuffleB.get)
+}
+
+object StageMetrics {
+  /** Best-effort flush of the async listener bus before reading [[snapshot]]
+    * at a measurement boundary: without it a heavy final stage completing
+    * exactly at the boundary attributes multi-GB spill to the NEIGHBORING
+    * row, and under bus pressure dropped events silently undercount. Calls
+    * `LiveListenerBus.waitUntilEmpty()` (a `private[spark]` member — public
+    * in bytecode, reached via reflection so this file needs no spark-internal
+    * package) and falls back to a 50 ms sleep if the internal API moved.
+    * The numbers stay APPROXIMATE either way — the bus can drop events when
+    * saturated — so consumers read spill_mb/shuffle_mb as attribution, not
+    * accounting.
+    */
+  def drain(s: SparkSession): Unit =
+    try {
+      val sc = s.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Throwable => Thread.sleep(50) }
 }

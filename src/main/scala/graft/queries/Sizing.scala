@@ -130,7 +130,10 @@ object Sizing {
     */
   private[graft] def adviseTaskMemoryFor(master: String, heap: Long,
       slots: Int): Option[String] = {
-    if (!master.startsWith("local")) None
+    // local-cluster[...] also matches the "local" prefix but runs executors
+    // as SEPARATE JVMs — there the driver maxMemory/defaultParallelism ratio
+    // is exactly the noise this guard exists to eliminate (r15 advice)
+    if (!master.startsWith("local") || master.startsWith("local-cluster")) None
     else if (slots <= 0 || heap / math.max(1, slots) >= HeapPerTaskBytes) None
     else {
       val perTask = heap / slots
@@ -173,20 +176,44 @@ object Sizing {
     "d10_clean_corpus" -> 12.0,
     "d11_decontam" -> 5.0)
 
-  /** Usable bytes on Spark's shuffle-scratch volume: the first configured
-    * local dir, resolved in the order Spark's own local-dir lookup uses for a
+  /** Usable bytes on Spark's shuffle-scratch volume(s): ALL configured local
+    * dirs, resolved in the order Spark's own local-dir lookup uses for a
     * local master — `SPARK_LOCAL_DIRS` env OVERRIDES `spark.local.dir` conf
-    * (Utils.getConfiguredLocalDirs), falling back to the JVM tmpdir. On a
+    * (Utils.getConfiguredLocalDirs), falling back to the JVM tmpdir. Spark
+    * round-robins shuffle files across every configured dir, so capacity is
+    * the SUM — deduped by backing volume (two dirs on one filesystem share
+    * its free bytes; a naive sum would double-count and under-refuse). On a
     * real cluster the check belongs on each executor's local dirs; this
     * driver-side read is exact for local[N].
     */
-  def usableScratchBytes(s: SparkSession): Long = {
-    val dir = sys.env.get("SPARK_LOCAL_DIRS")
+  def usableScratchBytes(s: SparkSession): Long =
+    usableScratchBytesFor(sys.env.get("SPARK_LOCAL_DIRS")
       .orElse(s.sparkContext.getConf.getOption("spark.local.dir"))
       .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
-      .split(",").head.trim
-    new java.io.File(dir).getUsableSpace
-  }
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
+  /** [[usableScratchBytes]]'s sum, pure in the dir list for testability:
+    * usable bytes per UNIQUE backing volume (java.nio FileStore identity; a
+    * dir whose store cannot be resolved — typically a not-yet-created local
+    * dir — keys by its own path and contributes its `getUsableSpace`, which
+    * is 0 for a missing path: never a throw, never an overcount).
+    */
+  private[graft] def usableScratchBytesFor(dirs: Seq[String]): Long =
+    dirs.map { d =>
+      val f = new java.io.File(d)
+      val key =
+        try java.nio.file.Files.getFileStore(f.toPath).toString
+        catch { case _: Exception => s"unresolved:$d" }
+      key -> f.getUsableSpace
+    }.distinctBy(_._1).map(_._2).sum
+
+  /** Default closing guidance of the preflight refusal line — the REFUSING
+    * caller's wording (PlanProbe exits 2 unless overridden); a warn-only
+    * caller passes its own tail so the message never advertises an override
+    * the caller ignores.
+    */
+  private[graft] val RefuseTail: String =
+    "free scratch or override with SPARK_GRAFT_PREFLIGHT=0"
 
   /** Scratch-disk preflight: estimate `query`'s peak live shuffle bytes on
     * `dataDir` from the documents footprint x the family's measured
@@ -196,18 +223,29 @@ object Sizing {
     * when the footprint is unknowable (-1) — the preflight must never block
     * a run on missing metadata, only on evidence. Callers choose the policy:
     * PlanProbe refuses (override: SPARK_GRAFT_PREFLIGHT=0), Bench warns.
+    *
+    * Local-master only: [[usableScratchBytes]] reads the DRIVER's local dirs,
+    * which for local[N] are the executor scratch but on a standalone/YARN/k8s
+    * master say nothing about each executor's disks — comparing an
+    * executor-shaped estimate against driver disk would refuse (or pass)
+    * runs on noise, the same spurious-advisory class adviseTaskMemory's
+    * guard eliminates. Non-local masters (including local-cluster, whose
+    * executors are separate JVMs with their own dirs) stand down with None.
     */
   def preflightScratch(s: SparkSession, dataDir: String,
       query: String): Option[String] =
     preflightScratch(s, dataDir, query, ScratchExpansion)
 
-  /** [[preflightScratch]] with the family-ratio table injectable (specs pin
-    * both the fires and the fits branch without depending on the box's free
-    * scratch).
+  /** [[preflightScratch]] with the family-ratio table, message tail, and
+    * master injectable (specs pin the fires, fits, and cluster-stand-down
+    * branches without depending on the box's free scratch or a cluster).
     */
   private[graft] def preflightScratch(s: SparkSession, dataDir: String,
-      query: String, expansion: Map[String, Double]): Option[String] =
-    expansion.get(query).flatMap { x =>
+      query: String, expansion: Map[String, Double],
+      tail: String = RefuseTail, master: String = null): Option[String] = {
+    val m = Option(master).getOrElse(s.sparkContext.master)
+    if (!m.startsWith("local") || m.startsWith("local-cluster")) None
+    else expansion.get(query).flatMap { x =>
       val docBytes = footprintBytesCached(s, s"$dataDir/documents.parquet")
       if (docBytes < 0) None
       else {
@@ -219,13 +257,13 @@ object Sizing {
             f"wants ~${est >> 30}%d GB of live shuffle files " +
             f"(${docBytes >> 20}%d MB documents x ${x}%.0fx measured " +
             f"family peak, SCALECHECK.md) but the scratch volume has only " +
-            f"${usable >> 30}%d GB usable - free scratch or override with " +
-            "SPARK_GRAFT_PREFLIGHT=0"
+            f"${usable >> 30}%d GB usable - " + tail
           System.err.println(msg)
           Some(msg)
         }
       }
     }
+  }
 
   private val sized =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]

@@ -48,18 +48,43 @@ object PlanProbe {
       // [[graft.StageMetrics]]
       val metrics = new graft.StageMetrics
       spark.sparkContext.addSparkListener(metrics)
+      def drained(): (Long, Long) = {
+        graft.StageMetrics.drain(spark); metrics.snapshot
+      }
+      // Dense scratch poller (r15): the ScratchExpansion ratios were measured
+      // under SPARSE polling, which cannot bound a live peak from above —
+      // r14's d05 survived by 3 GB against a ~1%-accurate 9x estimate while
+      // its sparse trough suggested half that. A daemon thread samples the
+      // scratch volume's usable bytes at 500 ms; the min across a rep bounds
+      // the rep's live trough, and (start - trough) its live scratch peak.
+      // statfs is ~microseconds, so 2 Hz costs nothing against 100 s reps.
+      val trough = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+      val poller = new Thread(new Runnable {
+        def run(): Unit = while (true) {
+          val u = graft.queries.Sizing.usableScratchBytes(spark)
+          trough.accumulateAndGet(u, (a: Long, b: Long) => math.min(a, b))
+          Thread.sleep(500)
+        }
+      }, "graft-scratch-poller")
+      poller.setDaemon(true)
+      poller.start()
       println(s"=== $name @ $dir ===")
       q(spark, dir).explain("formatted")
       for (i <- 1 to reps) {
-        val (sp0, sh0) = metrics.snapshot
+        val scratchStart = graft.queries.Sizing.usableScratchBytes(spark)
+        trough.set(scratchStart)
+        val (sp0, sh0) = drained()
         val t0 = System.nanoTime()
         // noop sink, same as Bench: count() would let Catalyst prune every
         // column and time a projection query as a metadata-only scan
         q(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        val (sp1, sh1) = metrics.snapshot
+        val (sp1, sh1) = drained()
+        val tr = trough.get
         println(f"PROBE rep=$i sec=$sec%.2f " +
-          f"spill_mb=${(sp1 - sp0) / (1 << 20)}%d shuffle_mb=${(sh1 - sh0) / (1 << 20)}%d")
+          f"spill_mb=${(sp1 - sp0) / (1 << 20)}%d shuffle_mb=${(sh1 - sh0) / (1 << 20)}%d " +
+          f"scratch_trough_gb=${tr.toDouble / (1L << 30)}%.1f " +
+          f"scratch_peak_gb=${(scratchStart - tr).toDouble / (1L << 30)}%.1f")
       }
     } finally spark.stop()
   }

@@ -265,6 +265,28 @@ class SizingSpec extends AnyFunSuite {
     // so the advisory must stay silent even at an apparently-awful density
     assert(Sizing.adviseTaskMemoryFor("spark://host:7077", 8L << 30, 1024).isEmpty)
     assert(Sizing.adviseTaskMemoryFor("yarn", 8L << 30, 1024).isEmpty)
+    // local-cluster[...] matches the "local" prefix but runs executors as
+    // SEPARATE JVMs — the driver-heap density is the same noise as yarn's
+    assert(Sizing.adviseTaskMemoryFor("local-cluster[2,2,1024]", 8L << 30, 32).isEmpty)
+  }
+
+  test("usableScratchBytesFor sums dirs deduped by backing volume") {
+    val a = java.nio.file.Files.createTempDirectory("graft-scratch-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-scratch-b").toString
+    val one = Sizing.usableScratchBytesFor(Seq(a))
+    assert(one > 0)
+    // two dirs on the SAME filesystem share its free bytes: the sum must
+    // dedup by volume, not double-count (tolerance: free space drifts a
+    // little between the two statfs calls, never 20%)
+    val two = Sizing.usableScratchBytesFor(Seq(a, b))
+    assert(math.abs(two - one).toDouble / one < 0.2,
+      s"same-volume dirs double-counted: one=$one two=$two")
+    // a dir whose store can't resolve (not yet created) contributes 0 usable
+    // bytes — never a throw, never an overcount
+    val withMissing = Sizing.usableScratchBytesFor(Seq(a, "/nonexistent/graft-scratch"))
+    assert(math.abs(withMissing - one).toDouble / one < 0.2)
+    // the degenerate empty list is 0, not a crash
+    assert(Sizing.usableScratchBytesFor(Seq.empty) === 0L)
   }
 
   test("RepeatHeapPerTaskBytes sits between the measured rep-2 shapes") {
@@ -292,6 +314,20 @@ class SizingSpec extends AnyFunSuite {
       // unknowable footprint (missing table): must not block on missing metadata
       assert(Sizing.preflightScratch(spark, "/nonexistent/graft-preflight",
         "d10_clean_corpus", Map("d10_clean_corpus" -> 1e12)).isEmpty)
+      // warn-only callers inject their own tail: the message must not
+      // advertise an override the caller ignores (r15 advice on Bench)
+      val warned = Sizing.preflightScratch(spark, tmp, "d10_clean_corpus",
+        Map("d10_clean_corpus" -> 1e12), tail = "warn-only tail")
+      assert(warned.isDefined && warned.get.endsWith("warn-only tail") &&
+        !warned.get.contains("SPARK_GRAFT_PREFLIGHT"), warned.toString)
+      // cluster masters stand down: usableScratchBytes reads DRIVER disk,
+      // which says nothing about executor scratch off local[N] — an
+      // executor-shaped estimate vs driver disk would refuse runs on noise
+      for (m <- Seq("spark://host:7077", "yarn", "k8s://https://host:443",
+          "local-cluster[2,2,1024]"))
+        assert(Sizing.preflightScratch(spark, tmp, "d10_clean_corpus",
+          Map("d10_clean_corpus" -> 1e12), master = m).isEmpty,
+          s"preflight must stand down under master=$m")
     } finally Sizing.clearCache()
   }
 
