@@ -159,7 +159,11 @@ object Sizing {
     * live for ALL stages of one query, so the peak is the whole chain's sum:
     *
     *   - d11 (single-exchange pushed-down decontam): ~28 GB peak = 5x
-    *   - d05/d09 (band join + hashed-Jaccard verify): ~50 GB peak = 9x
+    *   - d05/d09 (band join + hashed-Jaccard verify): ~50 GB peak = 9x —
+    *     CONFIRMED by 500 ms dense polling in r15 (both troughs 2.1 GB from
+    *     a 51 GB baseline = 48.9 GB live peak = 9.05x, same day,
+    *     back-to-back): the ratio is exact, not conservative, and the
+    *     r14 "kernel plan may have halved it" hypothesis is dead
     *   - d10 (exact dedup + verify + components + anti-join, end-to-end):
     *     LOWER BOUND 9.1x — the kernel-plan attempt died `No space left on
     *     device` with 51 GB free; 12x adds the same shortfall-is-fatal margin
