@@ -59,10 +59,17 @@ object PlanProbe {
       // the rep's live trough, and (start - trough) its live scratch peak.
       // statfs is ~microseconds, so 2 Hz costs nothing against 100 s reps.
       val trough = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+      // never reset: the explain() below EXECUTES eager builders (cache
+      // builds, Components' loop) whose scratch usage the per-rep trough
+      // erases — the r15 d09 probe reached rep start with only 2.8 GB free,
+      // so the global min is the number the preflight model must honor
+      val globalTrough = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+      val scratchBaseline = graft.queries.Sizing.usableScratchBytes(spark)
       val poller = new Thread(new Runnable {
         def run(): Unit = while (true) {
           val u = graft.queries.Sizing.usableScratchBytes(spark)
           trough.accumulateAndGet(u, (a: Long, b: Long) => math.min(a, b))
+          globalTrough.accumulateAndGet(u, (a: Long, b: Long) => math.min(a, b))
           Thread.sleep(500)
         }
       }, "graft-scratch-poller")
@@ -86,6 +93,11 @@ object PlanProbe {
           f"scratch_trough_gb=${tr.toDouble / (1L << 30)}%.1f " +
           f"scratch_peak_gb=${(scratchStart - tr).toDouble / (1L << 30)}%.1f")
       }
+      val gt = globalTrough.get
+      if (gt != Long.MaxValue) println(
+        f"PROBE_SCRATCH global_trough_gb=${gt.toDouble / (1L << 30)}%.1f " +
+          f"global_peak_gb=${(scratchBaseline - gt).toDouble / (1L << 30)}%.1f " +
+          f"baseline_gb=${scratchBaseline.toDouble / (1L << 30)}%.1f")
     } finally spark.stop()
   }
 }
