@@ -60,6 +60,24 @@ object Bench {
       .foreach(q => graft.queries.Sizing.preflightScratch(spark, sfDir, q,
         graft.queries.Sizing.ScratchExpansion,
         tail = "expect a mid-run disk death for this row (warn-only: the bench proceeds)"))
+    // Whole-run dense scratch poll (r15, mirrors PlanProbe): every sweep
+    // records its disk-headroom trough for free — at sf100+ the scratch
+    // volume is a first-class failure mode, and the trough says how close
+    // this sweep came. Starts BEFORE the cache prewarm (the builds consume
+    // scratch too); 500 ms statfs sampling costs nothing.
+    val scratchBaseline = graft.queries.Sizing.usableScratchBytes(spark)
+    val scratchTrough = new java.util.concurrent.atomic.AtomicLong(scratchBaseline)
+    locally {
+      val t = new Thread(new Runnable {
+        def run(): Unit = while (true) {
+          val u = graft.queries.Sizing.usableScratchBytes(spark)
+          scratchTrough.accumulateAndGet(u, (a: Long, b: Long) => math.min(a, b))
+          Thread.sleep(500)
+        }
+      }, "graft-scratch-poller")
+      t.setDaemon(true)
+      t.start()
+    }
     // Warmup doubles as CALIBRATION: it spins codegen, shuffle, window, join, and
     // parquet IO machinery on SYNTHETIC data (so the first measured query doesn't
     // absorb one-time session costs), and because the workload is FIXED, its wall
@@ -290,7 +308,7 @@ object Bench {
     val samplesJson = calibrationSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
     val stagesJson = stageTimes.toSeq.sortBy(_._1)
       .map { case (n, t) => f"\"${esc(n)}\":$t%.3f" }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spill_mb":$spillJson,"shuffle_mb":$shuffleJson,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"contended_run":$contendedRun,"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spill_mb":$spillJson,"shuffle_mb":$shuffleJson,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"contended_run":$contendedRun,"scratch_baseline_gb":${scratchBaseline >> 30},"scratch_trough_gb":${scratchTrough.get >> 30},"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
     println(fullJson)
     // Truncation-proof SUMMARY, printed last: the r8 driver capture kept only
     // the tail of the big line, losing the total and 16 rows. A tail capture

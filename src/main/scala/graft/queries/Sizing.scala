@@ -158,16 +158,24 @@ object Sizing {
     * (5.6 GB documents table, SCALECHECK.md rounds 10-13). Shuffle files stay
     * live for ALL stages of one query, so the peak is the whole chain's sum:
     *
-    *   - d11 (single-exchange pushed-down decontam): ~28 GB peak = 5x
-    *   - d05/d09 (band join + hashed-Jaccard verify): ~50 GB peak = 9x —
-    *     CONFIRMED by 500 ms dense polling in r15 (both troughs 2.1 GB from
-    *     a 51 GB baseline = 48.9 GB live peak = 9.05x, same day,
-    *     back-to-back): the ratio is exact, not conservative, and the
-    *     r14 "kernel plan may have halved it" hypothesis is dead
+    *   - d11 (single-exchange pushed-down decontam): dense-MEASURED 5.91x
+    *     in r15 (global peak 31.9 GB) — the r13 sparse-poll "~28 GB = 5x"
+    *     UNDERSTATED the true peak by 15%, i.e. a volume between 5.0x and
+    *     5.9x would have passed the old preflight and died mid-run; the
+    *     table value is 6.5x (+10% over the measured peak, the same
+    *     shortfall-is-fatal margin the other rows carry)
+    *   - d05/d09 (band join + hashed-Jaccard verify): dense-MEASURED 9.05x
+    *     in r15 (both global troughs 2.1 GB from a 51 GB baseline = 48.9 GB
+    *     live peak, same day, back-to-back) — the old 9.0x sat 0.6% UNDER
+    *     the true peak; the r14 "kernel plan may have halved it" hypothesis
+    *     is dead. Table value 9.2x: above the measured peak, below the
+    *     proven-fit 9.44x (the 51 GB box survived), so the demonstrated
+    *     shape still passes while an estimate-sized volume now refuses
     *   - d10 (exact dedup + verify + components + anti-join, end-to-end):
-    *     LOWER BOUND 9.1x — the kernel-plan attempt died `No space left on
-    *     device` with 51 GB free; 12x adds the same shortfall-is-fatal margin
-    *     the partition rule uses (a preflight that lands a few GB under the
+    *     dense-MEASURED 11.57x in r15 (global peak 62.5 GB from a 65.0 GB
+    *     baseline; the r13 death at 51 GB free is fully explained) — the
+    *     12x table value over-estimates the true peak by 3.7%, the safe
+    *     direction, so it stays (a preflight that lands a few GB under the
     *     true peak converts a refusal into an hour-long crash).
     *
     * Four fifth-decade runs in round 13 died (or were blocked) on scratch
@@ -175,10 +183,10 @@ object Sizing {
     * [[preflightScratch]] turns that failure mode into pre-launch guidance.
     */
   val ScratchExpansion: Map[String, Double] = Map(
-    "d05_jaccard" -> 9.0,
-    "d09_dedup_clusters" -> 9.0,
+    "d05_jaccard" -> 9.2,
+    "d09_dedup_clusters" -> 9.2,
     "d10_clean_corpus" -> 12.0,
-    "d11_decontam" -> 5.0)
+    "d11_decontam" -> 6.5)
 
   /** Usable bytes on Spark's shuffle-scratch volume(s): ALL configured local
     * dirs, resolved in the order Spark's own local-dir lookup uses for a
