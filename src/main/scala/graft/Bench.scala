@@ -13,7 +13,15 @@ object Bench {
     * SPARK_GRAFT_CLEAN_CALIBRATION.
     */
   def cleanCalibrationSec: Double =
-    sys.env.get("SPARK_GRAFT_CLEAN_CALIBRATION").map(_.toDouble).getOrElse(1.0)
+    sys.env.get("SPARK_GRAFT_CLEAN_CALIBRATION").flatMap { v =>
+      // warn-and-fall-through, not crash: a garbage export must not kill a
+      // 30-minute sweep at startup (the Knobs.bool lesson, same class)
+      val d = scala.util.Try(v.toDouble).toOption.filter(_ > 0)
+      if (d.isEmpty) System.err.println(
+        s"[bench] ignoring SPARK_GRAFT_CLEAN_CALIBRATION='$v' (expected a " +
+          "positive number of seconds); using the default clean median")
+      d
+    }.getOrElse(1.0)
 
   /** The contention gate's threshold, pure for testability: a settled
     * calibration above 2x the clean-box median means the whole run executed
