@@ -56,26 +56,33 @@ class ShuffleBytesGateSpec extends AnyFunSuite {
     m
   }
 
-  private def measure(name: String): Double = {
+  private def measure(name: String): (Double, Double) = {
     val q = SparkEntry.queries(name)
     // warmup rep: shared-cache builds and codegen land outside the window
     q(spark, sf).write.format("noop").mode("overwrite").save()
     StageMetrics.drain(spark)
-    val (_, sh0) = metrics.snapshot
+    val (sp0, sh0) = metrics.snapshot
     // noop sink, same as Bench: count() would let Catalyst prune every column
     q(spark, sf).write.format("noop").mode("overwrite").save()
     StageMetrics.drain(spark)
-    val (_, sh1) = metrics.snapshot
-    (sh1 - sh0).toDouble / (1 << 20)
+    val (sp1, sh1) = metrics.snapshot
+    ((sh1 - sh0).toDouble / (1 << 20), (sp1 - sp0).toDouble / (1 << 20))
   }
 
   for ((name, lo, hi) <- pins)
     test(s"$name shuffle-write bytes within [$lo, $hi] MB of the pinned plan") {
-      val mb = measure(name)
-      info(f"measured $mb%.3f MB") // always visible: a drifting-but-green pin is a tell too
+      val (mb, spill) = measure(name)
+      info(f"measured shuffle $mb%.3f MB spill $spill%.1f MB") // visible drift tell
       assert(mb >= lo && mb <= hi,
         f"$name shuffled $mb%.2f MB, outside the pinned [$lo, $hi] MB - a " +
           "plan structure change (lost broadcast / new exchange / dropped " +
           "pushdown), not noise: bytes repeat to ~0.1% at fixed shape")
+      // sf0.1 fits execution memory with two decades to spare: ANY spill here
+      // means a memory-hostile operator entered the plan (TypedImperative
+      // aggregate, object hash map, unbounded sort buffer) - the class that
+      // OOM'd sf100 before the fixed-width reformulations (SCALECHECK r12)
+      assert(spill <= 1.0,
+        f"$name spilled $spill%.1f MB at sf0.1 - a memory-hostile operator " +
+          "entered the plan; it will not survive two more decades")
     }
 }
