@@ -115,9 +115,53 @@ object Sizing {
     * minutes of sweep die in b06, what the round-12 campaign had to find by
     * dying there.
     */
-  def adviseTaskMemory(s: SparkSession): Option[String] =
-    adviseTaskMemoryFor(s.sparkContext.master,
-      Runtime.getRuntime.maxMemory, s.sparkContext.defaultParallelism)
+  def adviseTaskMemory(s: SparkSession): Option[String] = {
+    val master = s.sparkContext.master
+    if (master.startsWith("local") && !master.startsWith("local-cluster"))
+      adviseTaskMemoryFor(master,
+        Runtime.getRuntime.maxMemory, s.sparkContext.defaultParallelism)
+    else
+      // Cluster masters: the driver heap/defaultParallelism ratio is noise
+      // (see adviseTaskMemoryFor), but the session's OWN executor-shape
+      // confs are exactly the density the wall is about
+      adviseExecutorTaskMemory(
+        s.sparkContext.getConf.getOption("spark.executor.memory"),
+        s.sparkContext.getConf.getOption("spark.executor.cores"))
+  }
+
+  /** Cluster-master density advisory (r15, completes the cluster posture the
+    * r14 local-only guard started): reads `spark.executor.memory` /
+    * `spark.executor.cores` — the knobs the cluster operator actually sized —
+    * and warns when heap-per-slot sits under [[HeapPerTaskBytes]]. Memory
+    * parses with Spark's own convention (default unit MiB, as
+    * `SparkContext.executorMemory` does via byteStringAsMb). Either conf
+    * absent or unparseable → None: resource-manager defaults vary (YARN 1g,
+    * k8s template, standalone all-cores), and guessing would re-create the
+    * spurious-advisory class the master guard eliminated. Stand down without
+    * evidence; warn on it.
+    */
+  private[graft] def adviseExecutorTaskMemory(memory: Option[String],
+      cores: Option[String]): Option[String] = {
+    val heap = memory.flatMap(v => scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsMb(v) << 20).toOption)
+      .filter(_ > 0)
+    val slots = cores.flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+    (heap, slots) match {
+      case (Some(h), Some(c)) if h / c < HeapPerTaskBytes =>
+        val msg = f"[graft] executor density ${h / c / (1L << 20)}%d MB/task " +
+          f"(spark.executor.memory ${h / (1L << 30)}%d GB / " +
+          f"spark.executor.cores $c%d) is below the measured " +
+          f"${HeapPerTaskBytes / (1L << 30)}%d GB/task wall for large " +
+          f"sorted-output queries - prefer spark.executor.cores <= " +
+          f"${maxUsefulParallelism(h)}%d at this memory (SCALECHECK.md " +
+          "round 12: the wall survives partition-count division; the lever " +
+          "is heap x cores-per-executor)"
+        System.err.println(msg)
+        Some(msg)
+      case _ => None
+    }
+  }
 
   /** [[adviseTaskMemory]]'s decision, pure for testability. The density math
     * (driver `Runtime.maxMemory` / `defaultParallelism`) is only meaningful

@@ -270,6 +270,26 @@ class SizingSpec extends AnyFunSuite {
     assert(Sizing.adviseTaskMemoryFor("local-cluster[2,2,1024]", 8L << 30, 32).isEmpty)
   }
 
+  test("adviseExecutorTaskMemory: fires on under-wall executor confs, stands down without evidence") {
+    // 4g/16 cores = 256 MB/task: under the 1 GB wall -> fires with the
+    // cores-per-executor guidance
+    val low = Sizing.adviseExecutorTaskMemory(Some("4g"), Some("16"))
+    assert(low.isDefined && low.get.contains("spark.executor.cores <= 4"), low.toString)
+    // Spark's memory convention: a bare number is MiB (SparkContext's own
+    // byteStringAsMb parsing) - "4096"/16 must equal "4g"/16, not 4096 bytes
+    assert(Sizing.adviseExecutorTaskMemory(Some("4096"), Some("16")).isDefined)
+    // at-or-above the wall: silent
+    assert(Sizing.adviseExecutorTaskMemory(Some("16g"), Some("16")).isEmpty)
+    assert(Sizing.adviseExecutorTaskMemory(Some("64g"), Some("16")).isEmpty)
+    // either conf absent or garbage: stand down (RM defaults vary; guessing
+    // re-creates the spurious-advisory class the master guard eliminated)
+    assert(Sizing.adviseExecutorTaskMemory(None, Some("16")).isEmpty)
+    assert(Sizing.adviseExecutorTaskMemory(Some("4g"), None).isEmpty)
+    assert(Sizing.adviseExecutorTaskMemory(Some("a-lot"), Some("16")).isEmpty)
+    assert(Sizing.adviseExecutorTaskMemory(Some("4g"), Some("zero")).isEmpty)
+    assert(Sizing.adviseExecutorTaskMemory(Some("4g"), Some("0")).isEmpty)
+  }
+
   test("usableScratchBytesFor sums dirs deduped by backing volume") {
     val a = java.nio.file.Files.createTempDirectory("graft-scratch-a").toString
     val b = java.nio.file.Files.createTempDirectory("graft-scratch-b").toString
