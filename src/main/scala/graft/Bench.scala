@@ -12,8 +12,11 @@ object Bench {
     * Overridable for a genuinely different box via
     * SPARK_GRAFT_CLEAN_CALIBRATION.
     */
-  def cleanCalibrationSec: Double =
+  lazy val cleanCalibrationSec: Double =
     sys.env.get("SPARK_GRAFT_CLEAN_CALIBRATION").flatMap { v =>
+      // lazy val, not def: env vars cannot change mid-process and the
+      // isContended default arg + message interpolation would otherwise
+      // re-parse (and re-warn) up to 3x per contended run (r15 ADVICE)
       // warn-and-fall-through, not crash: a garbage export must not kill a
       // 30-minute sweep at startup (the Knobs.bool lesson, same class)
       val d = scala.util.Try(v.toDouble).toOption.filter(_ > 0)

@@ -340,7 +340,7 @@ object ScaleCheck {
     // re-measurement tool. Unknown names fail loudly: a typo would otherwise
     // run ZERO steps and exit 0, an empty measurement indistinguishable from a
     // filtered one (the file's own no-silent-caps principle).
-    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue", "d11probe")
+    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue", "d11probe", "megacluster", "giant")
     val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").map(_.trim).toSet)
     onlySteps.foreach { s =>
       val unknown = s.diff(knownSteps)
@@ -640,6 +640,126 @@ object ScaleCheck {
         f""""k":${r.k},"nprobe":${r.nprobe},"probed_fraction":${r.probedFraction}%.4f,""" +
         f""""recall_at_5":${r.recallAt5},"sec":$sec%.1f}""")
       graft.Caches.clearAll()
+    }
+
+    if (stepExplicit("megacluster"))
+    // The r16 hot-bucket guard's adversarial A/B (opt-in like residue — it
+    // synthesizes and candidate-joins extra corpora). Plants M near-identical
+    // docs — one shared 44-word boilerplate body plus a per-doc unique tail
+    // token: texts stay DISTINCT (so exact dedup keeps them all) but ~95% of
+    // them share each band's all-common-shingles MinHash signature, i.e. one
+    // boilerplate mega-bucket per band. Measures:
+    //  (a) at M/10, guarded vs unguarded-clique pairs + walls on the SAME
+    //      corpus — the direct A/B (the clique is ~(0.95·M/10)²/2 pairs from
+    //      one key; quadratic, but still materializable at this size);
+    //  (b) at M, the guarded leg only (the clique leg would be ~100× (a)'s
+    //      pairs ≈ 5e9 — the exact failure the guard exists to prevent; its
+    //      size is REPORTED from the bucket stats instead of executed);
+    //  (c) d09 + d10 end-to-end on the guarded M corpus: the mega-cluster
+    //      must land in ONE component (log-bounded rounds) and d10 must keep
+    //      exactly one planted survivor;
+    //  (d) the oversizedBuckets probe — driver-visible accounting of capped keys.
+    {
+      val m = sys.env.getOrElse("SPARK_GRAFT_MEGA_DOCS", "100000").toInt
+      val base = "the quick brown fox jumps over the lazy dog while a small " +
+        "red bird watches from the tall green tree and sings about clear " +
+        "morning light near quiet water banks where young deer drink fresh " +
+        "cool streams under bright open skies every single day"
+      def plantedDocs(n: Int, startId: Long) =
+        spark.range(n.toLong).select(
+          (col("id") + startId).as("doc_id"),
+          concat(lit(base + " tail"), col("id")).as("text"),
+          lit("en").as("lang"), lit("planted").as("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      for ((label, n) <- Seq("small" -> m / 10, "full" -> m)) {
+        val megaDir = s"$dst-mega-$label"
+        val src = graft.queries.Tables.documents(spark, dst)
+        val startId = src.agg(max("doc_id")).head().getLong(0) + 1L
+        src.select("doc_id", "text", "lang", "source", "n_chars")
+          .unionByName(plantedDocs(n, startId))
+          .write.mode("overwrite").parquet(s"$megaDir/documents.parquet")
+        // no-silent-caps guard: a planted doc failing d10's quality gate would
+        // silently drop the mega-cluster from the d10 leg
+        val kept = graft.SparkEntry.queries("t08_quality_filter")(spark, megaDir)
+          .filter(col("doc_id") >= startId && col("keep")).count()
+        require(kept == n.toLong, s"planted docs failing the quality gate: ${n - kept}")
+        val over = graft.queries.LshGuard.oversizedBuckets(
+          graft.queries.TextOps.bandFrameForProbe(spark, megaDir), Seq("band", "sig"))
+          .collect()
+        val overN = over.length
+        val overMax = if (over.isEmpty) 0L else over.map(_.getLong(2)).max
+        val cliqueOfMax = overMax * (overMax - 1) / 2
+        val (guardPairs, guardSec) = timed(
+          graft.queries.TextOps.candidatePairs(spark, megaDir).count())
+        val cliqueJson = if (label == "small") {
+          val (cp, cs) = timed(graft.queries.LshGuard.cliqueSelfJoinPairs(
+            graft.queries.TextOps.bandFrameForProbe(spark, megaDir),
+            "doc_id", Seq("band", "sig")).count())
+          f""""clique_pairs":$cp,"clique_sec":$cs%.1f,"""
+        } else {
+          // not executed on purpose — the guard's whole case; report the size
+          f""""clique_pairs_projected":$cliqueOfMax,"""
+        }
+        val ((d9rows, d9sec), (d10rows, d10sec)) = (
+          timed(graft.SparkEntry.queries("d09_dedup_clusters")(spark, megaDir).count()),
+          timed(graft.SparkEntry.queries("d10_clean_corpus")(spark, megaDir).count()))
+        // the planted cluster must resolve to ONE surviving doc in d10
+        val plantedSurvivors = graft.SparkEntry.queries("d10_clean_corpus")(spark, megaDir)
+          .filter(col("doc_id") >= startId).count()
+        println(f"""SCALECHECK {"step":"megacluster","leg":"$label","planted":$n,""" +
+          f""""cap":${graft.queries.LshGuard.cap},"oversized_buckets":$overN,""" +
+          f""""max_bucket":$overMax,"guard_pairs":$guardPairs,"guard_sec":$guardSec%.1f,""" +
+          cliqueJson +
+          f""""d09_rows":$d9rows,"d09_sec":$d9sec%.1f,"d10_rows":$d10rows,""" +
+          f""""d10_sec":$d10sec%.1f,"planted_survivors":$plantedSurvivors}""")
+        graft.Caches.clearAll()
+      }
+    }
+
+    if (stepExplicit("giant"))
+    // Planted giant components at the edge level (r16; composes with the
+    // megacluster corpus which plants the same shape through the full
+    // pipeline): a 1e6-leaf star centered at the MAX id (so the min label must
+    // propagate center-ward, not ride the start state) and a chain of 100
+    // 1000-leaf stars (diameter ~200 — plain propagation would need ~100
+    // rounds; pointer jumping must stay within 2·log2(n)+4). The driver sees
+    // one changed-count per round and the output is one row per node — both
+    // printed, neither corpus-sized.
+    {
+      val nStar = sys.env.getOrElse("SPARK_GRAFT_GIANT_NODES", "1000000").toLong
+      val star = spark.range(0L, nStar - 1)
+        .select(col("id").as("id_a"), lit(nStar - 1).as("id_b"))
+      def bound(n: Long): Int = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 4
+      val ((starLabels, starRounds), starSec) = timed {
+        val (lf, r) = graft.queries.Components.minLabelComponentsWithRounds(
+          star, maxRounds = bound(nStar))
+        (lf.localCheckpoint(), r)
+      }
+      val starRows = starLabels.count()
+      val starBad = starLabels.filter(col("lbl") =!= 0L).count()
+      // chain of stars: star s has center s*1001, leaves s*1001+1..s*1001+1000,
+      // chain edge center_s -> center_{s+1}
+      val stars = 100L
+      val leaves = spark.range(0L, stars * 1000)
+        .select(((col("id") / 1000).cast("long") * 1001).as("id_a"),
+          ((col("id") / 1000).cast("long") * 1001 + (col("id") % 1000) + 1).as("id_b"))
+      val chain = spark.range(0L, stars - 1)
+        .select((col("id") * 1001).as("id_a"), ((col("id") + 1) * 1001).as("id_b"))
+      val nChain = stars * 1001
+      val ((chainLabels, chainRounds), chainSec) = timed {
+        val (lf, r) = graft.queries.Components.minLabelComponentsWithRounds(
+          leaves.unionByName(chain), maxRounds = bound(nChain))
+        (lf.localCheckpoint(), r)
+      }
+      val chainRows = chainLabels.count()
+      val chainBad = chainLabels.filter(col("lbl") =!= 0L).count()
+      println(f"""SCALECHECK {"step":"giant","star_nodes":$nStar,"star_rounds":$starRounds,""" +
+        f""""star_bound":${bound(nStar)},"star_rows":$starRows,"star_mislabels":$starBad,""" +
+        f""""star_sec":$starSec%.1f,"chain_nodes":$nChain,"chain_rounds":$chainRounds,""" +
+        f""""chain_bound":${bound(nChain)},"chain_rows":$chainRows,""" +
+        f""""chain_mislabels":$chainBad,"chain_sec":$chainSec%.1f}""")
+      require(starBad == 0 && chainBad == 0, "giant-component labels wrong")
+      require(starRows == nStar && chainRows == nChain, "label row count != node count")
     }
 
     if (stepOn("loadmany"))

@@ -56,5 +56,11 @@ object StageMetrics {
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
       bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       ()
-    } catch { case _: Throwable => Thread.sleep(50) }
+    } catch {
+      case _: InterruptedException =>
+        // restore the flag and return: sleeping inside an interrupt would
+        // throw unhandled from the fallback itself (r15 ADVICE)
+        Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => Thread.sleep(50)
+    }
 }

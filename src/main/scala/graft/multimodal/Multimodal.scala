@@ -10,13 +10,20 @@ import org.apache.spark.sql.types._
   * operator — the Scala analog of `mapInPandas`: one iterator of rows in, one out,
   * no per-row JVM/interpreter crossings, executor-parallel by partition.
   *
-  * The actual codecs are NOT in this container, so `fakeDecode` is a clearly-marked
-  * DETERMINISTIC FAKE (pure function of the bytes) standing in for e.g. libjpeg: the
-  * schema contract, batch shape, partitioning, and null handling — the parts that
-  * must survive a 100 TB run — are real and tested; swap `fakeDecode` for a real
-  * codec binding and nothing else changes. The fake derives its outputs from
-  * md5(payload) with portable hex arithmetic, so DuckDB oracles reproduce every
-  * value exactly (same contract trick as `token_hash16`).
+  * The decode kernel is REAL for the image formats whose codecs ship in the JDK
+  * (r16): payloads that declare an image mime AND carry a known magic
+  * (BMP/PNG/JPEG/GIF) get their true width/height from a `javax.imageio` header
+  * read inside the partition-local batch — [[realDecode]]; MultimodalSpec pins it
+  * against synthesized BMPs whose header dims are a pure function of the id.
+  * Everything else falls back to `fakeDecode`, a clearly-marked DETERMINISTIC FAKE
+  * (pure function of the bytes) standing in for the codecs NOT in this container
+  * (video/audio): it derives its outputs from md5(payload) with portable hex
+  * arithmetic, so DuckDB oracles reproduce every value exactly (same contract
+  * trick as `token_hash16`). The oracle-checked m-queries feed text payloads under
+  * `text/plain`, so they exercise the plumbing through the fake branch and stay
+  * reproducible in SQL; the mime gate (not just the magic sniff) is what keeps
+  * that deterministic — a document whose text happens to start with "BM" must not
+  * flip branches on content alone.
   *
   * At scale: payload bytes dominate, so operators never shuffle the binary column —
   * decode/resize/sample are narrow (partition-local) transformations; only the
@@ -47,8 +54,88 @@ object Multimodal {
     val w = 16 + v(0) % 1024
     val ht = 16 + v(2) % 1024
     val frames = 1 + v(4) % 240
-    val fp = h.take(8).map(b => f"${b & 0xff}%02x").mkString
-    (w, ht, frames, fp)
+    (w, ht, frames, fingerprintOf(bytes))
+  }
+
+  /** Content fingerprint — md5-prefix of the raw payload bytes, format-agnostic
+    * (a REAL fingerprint: identical payloads dedupe at any scale), shared by both
+    * decode branches.
+    */
+  private def fingerprintOf(bytes: Array[Byte]): String =
+    graft.functions.TokenHash.md5(bytes).take(8).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Magic sniff for the image formats whose readers ship in the JDK. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte) || // BMP
+        (b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte) || // PNG
+        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) || // JPEG
+        (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte)) // GIF
+
+  /** REAL image header decode via `javax.imageio` (in-JDK codecs: BMP, PNG, JPEG,
+    * GIF): the reader parses the actual format header for width/height without
+    * materializing pixels — the honest decode step of a metadata-extraction pass,
+    * and the seam where a full pixel pipeline (features, thumbnails) would hang
+    * off the same reader. Memory-backed input stream, never ImageIO's default
+    * FILE cache — an executor thread must not create a temp file per payload.
+    * Returns None (→ fake fallback) for unknown magics, truncated/corrupt
+    * headers, or absurd parsed dims.
+    */
+  private[multimodal] def realDecode(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (!looksLikeImage(bytes)) None
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            if (w > 0 && h > 0 && w <= (1 << 24) && h <= (1 << 24)) Some((w, h))
+            else None
+          } finally r.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      } finally iis.close()
+    }
+
+  /** Deterministic 24-bit BMP payload, a pure function of `id` — the synthesized
+    * stand-in for a real image corpus (no image files ship in the container):
+    * width = 16 + id mod 97, height = 16 + (id div 97) mod 89, pixel (x, y) =
+    * BGR((id+x) mod 256, (id+y) mod 256, (x xor y) mod 256), rows bottom-up and
+    * 4-byte padded per the format. MultimodalSpec decodes these through
+    * [[realDecode]] and asserts the parsed dims equal this header's.
+    */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(id, 97L).toInt
+    val h = 16 + java.lang.Math.floorMod(id / 97L, 89L).toInt
+    val pad = (4 - (w * 3) % 4) % 4
+    val imgSize = (w * 3 + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-array offset
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // BITMAPINFOHEADER
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        buf.put(((id + x) & 0xff).toByte)
+          .put(((id + y) & 0xff).toByte)
+          .put(((x ^ y) & 0xff).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
   }
 
   /** Decode a media table `(media_id long, mime string, payload binary)` into
@@ -64,8 +151,19 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, mime, bytes) =>
-          val (w, h, f, fp) = fakeDecode(bytes)
-          (id, mime, bytes.length.toLong, w, h, f, fp)
+          // mime gate BEFORE the magic sniff: text payloads must stay on the
+          // deterministic fake branch even when their bytes start like an
+          // image (see the object scaladoc — the oracle depends on it)
+          val real =
+            if (mime != null && mime.startsWith("image/")) realDecode(bytes)
+            else None
+          real match {
+            case Some((w, h)) =>
+              (id, mime, bytes.length.toLong, w, h, 1, fingerprintOf(bytes))
+            case None =>
+              val (w, h, f, fp) = fakeDecode(bytes)
+              (id, mime, bytes.length.toLong, w, h, f, fp)
+          }
         }
       }
       .toDF("media_id", "mime", "n_bytes", "width", "height", "n_frames", "fingerprint")

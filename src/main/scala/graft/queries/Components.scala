@@ -59,7 +59,16 @@ object Components {
     * ComponentsSpec pins label-for-label equality on a mixed-shape graph.
     */
   def minLabelComponents(edges: DataFrame, maxRounds: Int = 50,
-      retirePairs: Option[Boolean] = None): DataFrame = {
+      retirePairs: Option[Boolean] = None): DataFrame =
+    minLabelComponentsWithRounds(edges, maxRounds, retirePairs)._1
+
+  /** [[minLabelComponents]] plus the number of propagation rounds the loop
+    * actually ran — the O(log diameter) claim as a returned measurement
+    * (ScaleCheck's giant-component step and ComponentsSpec's log-bound
+    * assertions read it) instead of a log line behind an env knob.
+    */
+  def minLabelComponentsWithRounds(edges: DataFrame, maxRounds: Int = 50,
+      retirePairs: Option[Boolean] = None): (DataFrame, Int) = {
     val t0 = System.nanoTime()
     // Pin the DIRECTED edge frame before symmetrizing: the union's two branches
     // are separate physical subtrees, so without this the upstream edge plan —
@@ -142,6 +151,6 @@ object Components {
     }
     require(changed == 0, s"components did not converge in $maxRounds rounds")
     logLine(f"stage=total rounds=$rounds sec=${(System.nanoTime() - t0) / 1e9}%.2f")
-    labels.union(pairLabels)
+    (labels.union(pairLabels), rounds)
   }
 }

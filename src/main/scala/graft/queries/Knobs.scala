@@ -31,4 +31,18 @@ object Knobs {
             "1); falling through to the built-in gate")
         None
     }
+
+  /** Some(n) for a positive decimal integer; None (with a once-per-name
+    * stderr warning) for any other set value; None silently when unset.
+    * Same strict-parse contract as [[bool]] — a mistyped export must warn,
+    * never silently run the wrong A/B leg.
+    */
+  def int(name: String): Option[Int] =
+    sys.env.get(name).flatMap { v =>
+      val n = v.toIntOption.filter(_ > 0)
+      if (n.isEmpty && warned.add(name))
+        System.err.println(s"[graft] ignoring $name='$v' (expected a positive " +
+          "integer); falling through to the built-in default")
+      n
+    }
 }

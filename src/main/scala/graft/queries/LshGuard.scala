@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket guard for LSH candidate generation (r16; the one scale hazard
+  * r15's audit left open).
+  *
+  * A bucket self-join emits |bucket|²/2 pairs from a single (band, sig) key:
+  * benign corpora never show it (every measured corpus sits at a flat ~0.15
+  * pairs/doc because md5-128 band signatures make random collisions nil), but
+  * a real 100 TB corpus has boilerplate mega-clusters — 10⁵ near-identical
+  * docs in one bucket is 10¹⁰ pairs from one key, materialized by the
+  * pair-level distinct and the verify checkpoint. This is the same failure
+  * class d07 fixed in its random-collision regime (inline hamming, r10),
+  * here for the TRUE-duplicate regime where the colliding docs really are
+  * near-dups of each other.
+  *
+  * The guard: buckets over `cap` members short-circuit to a STAR on the
+  * bucket's min id — every member pairs with the representative only
+  * (|bucket|−1 edges instead of the clique). Members of an oversized bucket
+  * share an identical LSH band signature, so they are mutual near-dup
+  * candidates by construction; downstream the star preserves exactly what the
+  * clique fed each consumer: d09/d10's connected components (a verified star
+  * is one component, same as a verified clique), and dedup keep-min semantics.
+  * What it deliberately gives up in the capped regime is the exhaustive
+  * pair LIST (d04) and per-pair Jaccard values for non-representative pairs
+  * (d05) — the documented trade, knob-controlled, and inactive below the cap:
+  * `SPARK_GRAFT_BUCKET_CAP` defaults far above every measured benign corpus
+  * (BucketGuardSpec pins guarded ≡ unguarded there, so all oracle rows are
+  * bit-identical with the guard in place).
+  *
+  * Plan shape (the part that makes the guard ~free when it never fires): the
+  * size/min accounting is a WINDOW over the self-join's a-side, partitioned
+  * on the join keys — it rides the exchange+sort the SortMergeJoin needs
+  * anyway instead of adding a corpus-sized aggregation exchange. The c-side
+  * keeps oversized buckets; they stream through the merge join finding zero
+  * a-side matches (linear, no output). WindowExec buffers one bucket at a
+  * time and spills past `spark.sql.windowExec.buffer.spill.threshold`, so
+  * even the adversarial bucket itself never holds more than its own narrow
+  * rows.
+  */
+object LshGuard {
+
+  /** Default cap, overridable via SPARK_GRAFT_BUCKET_CAP. Sized from
+    * measurement (SCALECHECK.md r16 bucket-size table): the largest observed
+    * bucket in any corpus this build measures is ≤8 for MinHash bands
+    * (sf0.001–sf1000) and small-hundreds for sign-LSH embedding bands at the
+    * gate scales — 4096 sits an order of magnitude above both, while still
+    * capping an adversarial 10⁵-member bucket's 5·10⁹ pairs at 10⁵−1 edges.
+    */
+  val DefaultCap = 4096
+
+  def cap: Int = Knobs.int("SPARK_GRAFT_BUCKET_CAP").getOrElse(DefaultCap)
+
+  /** Pairs of ids sharing any key-bucket of `b` (one row per id per bucket
+    * membership), `id_a < id_b`, deduped across buckets — the LSH candidate
+    * self-join — with buckets over `cap` members emitting a star on the
+    * bucket min instead of the quadratic clique.
+    */
+  def guardedSelfJoinPairs(b: DataFrame, idCol: String, keyCols: Seq[String],
+      cap: Int = cap): DataFrame = {
+    require(cap >= 2, s"bucket cap must be >= 2, got $cap")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+    val a = b.select(col(idCol).as("id_a") +: keys: _*)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col("id_a")).over(w))
+    val c = b.select(col(idCol).as("id_b") +: keys: _*)
+    val cliques = a.filter(col("__bsz") <= cap)
+      .join(c, keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val stars = a.filter(col("__bsz") > cap && col("id_a") =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col("id_a").as("id_b"))
+    cliques.unionByName(stars).distinct()
+  }
+
+  /** The unguarded clique form, kept as the equivalence baseline
+    * (BucketGuardSpec pins guarded ≡ unguarded below the cap) and as the
+    * explicit opt-out for a caller that truly wants the exhaustive pair list
+    * of a skewed corpus.
+    */
+  def cliqueSelfJoinPairs(b: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val a = b.select(col(idCol).as("id_a") +: keys: _*)
+    val c = b.select(col(idCol).as("id_b") +: keys: _*)
+    a.join(c, keyCols).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Measurement probe: the buckets the guard would cap — (keys…, bucket
+    * size), largest first. ScaleCheck logs its count per corpus so a fired
+    * guard is always driver-visible; empty on every benign corpus.
+    */
+  def oversizedBuckets(b: DataFrame, keyCols: Seq[String],
+      cap: Int = cap): DataFrame =
+    b.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > cap)
+      .orderBy(desc("bucket_size"))
+}

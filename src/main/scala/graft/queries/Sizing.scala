@@ -232,6 +232,18 @@ object Sizing {
     "d10_clean_corpus" -> 12.0,
     "d11_decontam" -> 6.5)
 
+  /** Which table's on-disk footprint anchors each family's expansion ratio.
+    * The text/dedup families key on the documents table (historical rows
+    * above); the relational spill family (r16 — the sweep's largest
+    * cumulative spillers at sf100: b10 72, b18 48, b20 46 GB) keys on
+    * lineitem, the table those queries actually exchange. Families absent
+    * here default to documents.
+    */
+  val ScratchInputTable: Map[String, String] = Map(
+    "b10_slice" -> "lineitem",
+    "b18_arrays" -> "lineitem",
+    "b20_math" -> "lineitem")
+
   /** Usable bytes on Spark's shuffle-scratch volume(s): ALL configured local
     * dirs, resolved in the order Spark's own local-dir lookup uses for a
     * local master — `SPARK_LOCAL_DIRS` env OVERRIDES `spark.local.dir` conf
@@ -302,7 +314,8 @@ object Sizing {
     val m = Option(master).getOrElse(s.sparkContext.master)
     if (!m.startsWith("local") || m.startsWith("local-cluster")) None
     else expansion.get(query).flatMap { x =>
-      val docBytes = footprintBytesCached(s, s"$dataDir/documents.parquet")
+      val anchor = ScratchInputTable.getOrElse(query, "documents")
+      val docBytes = footprintBytesCached(s, s"$dataDir/$anchor.parquet")
       if (docBytes < 0) None
       else {
         val est = (docBytes * x).toLong
@@ -311,7 +324,7 @@ object Sizing {
         else {
           val msg = f"[graft] scratch preflight: $query%s on $dataDir%s " +
             f"wants ~${est >> 30}%d GB of live shuffle files " +
-            f"(${docBytes >> 20}%d MB documents x ${x}%.0fx measured " +
+            f"(${docBytes >> 20}%d MB $anchor%s x ${x}%.0fx measured " +
             f"family peak, SCALECHECK.md) but the scratch volume has only " +
             f"${usable >> 30}%d GB usable - " + tail
           System.err.println(msg)

@@ -348,20 +348,28 @@ object TextOps {
   }
 
   /** LSH candidate pairs from a prebuilt band frame: docs sharing any (band, sig)
-    * bucket, id_a < id_b.
+    * bucket, id_a < id_b. Hot-bucket-guarded ([[LshGuard]], r16): a boilerplate
+    * mega-cluster's bucket would otherwise emit |bucket|²/2 pairs from one key;
+    * buckets over SPARK_GRAFT_BUCKET_CAP short-circuit to a star on the bucket
+    * min. The default cap sits far above every measured benign corpus
+    * (BucketGuardSpec pins guarded ≡ clique there), so all oracle rows are
+    * untouched.
     */
-  private def candidatePairsFromBands(b: DataFrame): DataFrame = {
-    val a = b.select(col("doc_id").as("id_a"), col("band"), col("sig"))
-    val c = b.select(col("doc_id").as("id_b"), col("band"), col("sig"))
-    a.join(c, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  private def candidatePairsFromBands(b: DataFrame): DataFrame =
+    LshGuard.guardedSelfJoinPairs(b.select("doc_id", "band", "sig"),
+      "doc_id", Seq("band", "sig"))
 
   /** LSH candidate pairs over the dir's full documents table (cached bands).
     * Public so ScaleCheck can measure candidate growth across scale factors.
     */
   def candidatePairs(s: SparkSession, d: String): DataFrame =
     candidatePairsFromBands(bandsCached(s, d))
+
+  /** Measurement accessor for the band frame (tools.BucketStats, ScaleCheck's
+    * oversized-bucket accounting) — the frame [[LshGuard]] sizes its buckets on.
+    */
+  private[graft] def bandFrameForProbe(s: SparkSession, d: String): DataFrame =
+    bandsCached(s, d).select("doc_id", "band", "sig")
 
   /** SimHash LSH candidate pairs: docs sharing any of the four 16-bit
     * (band_index, band_value) buckets, id_a < id_b. This is the MEASUREMENT
@@ -568,30 +576,90 @@ object TextOps {
         println(f"D10 stage=$name rows=$n sec=${(System.nanoTime() - t) / 1e9}%.2f")
         df
       }
-    // Project to the output columns + dedup hash BEFORE the window: nothing
-    // downstream reads `text` (bands/shingles come from the cached frames), so
-    // the md5 must be materialized pre-exchange or the window's hash
-    // partitioning would drag the text column through the shuffle to evaluate
-    // its key. Not localCheckpoint'd: `ex` still feeds three consumers (the
-    // two semi-join id sides + the final anti-join) but is now a narrow
-    // re-scan (r9 measured checkpointing the then-wide `ex` ~30% SLOWER).
-    val ex = staged("survivors", documents(s, d).filter(qualityKeep)
+    val ex = staged("survivors", cleanSurvivors(s, d))
+    val cand = staged("candidates", cleanCandidates(s, d, ex.select("doc_id")))
+    val edges = staged("edges", cleanEdges(s, d, cand))
+    cleanKeep(ex, edges)
+  }
+
+  /** d10 stage 1 — survivors: quality gate + exact-dedup keep-min. Projects to
+    * the output columns + dedup hash BEFORE the window: nothing downstream
+    * reads `text` (bands/shingles come from the cached frames), so the md5
+    * must be materialized pre-exchange or the window's hash partitioning
+    * would drag the text column through the shuffle to evaluate its key. Not
+    * localCheckpoint'd in the fused form: `ex` still feeds three consumers
+    * (the two semi-join id sides + the final anti-join) but is a narrow
+    * re-scan (r9 measured checkpointing the then-wide `ex` ~30% SLOWER).
+    */
+  private def cleanSurvivors(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(qualityKeep)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         md5(col("text").cast("binary")).as("__h"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__h")).orderBy("doc_id")))
-      .filter(col("__rn") === 1).select("doc_id", "lang", "n_chars"))
-    val ids = ex.select("doc_id")
-    val cand = staged("candidates", candidatePairs(s, d)
+      .filter(col("__rn") === 1).select("doc_id", "lang", "n_chars")
+
+  /** d10 stage 2 — full-corpus LSH candidate pairs restricted to survivor
+    * endpoints (the cached-frame reuse argument on [[cleanCorpus]]).
+    */
+  private def cleanCandidates(s: SparkSession, d: String, ids: DataFrame): DataFrame =
+    candidatePairs(s, d)
       .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
-      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi"))
-    val edges = staged("edges", jaccardCountsGated(s, d, cand)
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+
+  /** d10 stage 3 — Jaccard-verified near-dup edges over the candidates. */
+  private def cleanEdges(s: SparkSession, d: String, cand: DataFrame): DataFrame =
+    jaccardCountsGated(s, d, cand)
       .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
-      .select("id_a", "id_b"))
+      .select("id_a", "id_b")
+
+  /** d10 stage 4 — keep each near-dup cluster's min id: components label every
+    * clustered doc, and survivors that are not their cluster's min drop.
+    */
+  private def cleanKeep(ex: DataFrame, edges: DataFrame): DataFrame = {
     val losers = Components.minLabelComponents(edges)
       .filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
     ex.join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+  }
+
+  /** [[cleanCorpus]] with MATERIALIZED stage boundaries — the shape a 100 TB
+    * deployment actually runs (SURVEY §2.C: "at production scale each arrow
+    * materializes an intermediate table"). Each stage writes parquet and the
+    * next reads it back, truncating lineage: the fused plan keeps every
+    * stage's shuffle files alive until the final action (dense-measured
+    * 11.57× the input in live scratch at sf1000 — the closest-to-the-wall
+    * shape on any box), while here a stage's shuffle files become collectable
+    * as soon as its boundary table is written, so the live peak is ~the MAX
+    * stage footprint plus the narrow boundary tables, not the SUM
+    * (SCALECHECK.md r16 has the measured pair). Row-identical to
+    * [[cleanCorpus]] by construction — same stage builders — and pinned by
+    * StagedCleanSpec plus the shared d10 oracle SQL.
+    *
+    * Stage tables land under `stageRoot` (defaults to a per-(session, input)
+    * dir beneath java.io.tmpdir, overwritten on re-invocation so repeated
+    * bench reps don't accumulate copies; a cluster deployment passes an
+    * explicit warehouse path instead). The returned frame READS the boundary
+    * parquet — the dir must outlive its consumption, so nothing here deletes
+    * it. Stage writes run eagerly at build time (the Components-loop
+    * precedent: PlanProbe's cold totals include them; the timed rep is the
+    * honest full execution).
+    */
+  private[graft] def cleanCorpusStaged(s: SparkSession, d: String,
+      stageRoot: Option[String] = None): DataFrame = {
+    registerKernels(s)
+    val root = stageRoot.getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft-d10-staged/" +
+        f"${(s.hashCode.toLong << 32 | (d.hashCode.toLong & 0xffffffffL))}%016x")
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val p = s"$root/$name.parquet"
+      df.write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
+    val ex = stage("survivors", cleanSurvivors(s, d))
+    val cand = stage("candidates", cleanCandidates(s, d, ex.select("doc_id")))
+    val edges = stage("edges", cleanEdges(s, d, cand))
+    cleanKeep(ex, edges)
   }
 
   /** 128-bit SimHash candidate pairs — the d07 scale variant (SCALECHECK.md): the
@@ -836,6 +904,12 @@ object TextOps {
     // End-to-end corpus cleaning — pipeline semantics, stage logging, and the
     // cached-frame reuse argument (r10) documented on [[cleanCorpus]].
     "d10_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
+
+    // The materialized-boundary form of the same pipeline — the shape a 100 TB
+    // deployment runs (scaladoc on [[cleanCorpusStaged]]: live scratch peaks at
+    // ~the max stage, not the sum of all stages). Same oracle SQL as d10: the
+    // two forms are row-identical by construction (shared stage builders).
+    "d10_clean_staged" -> ((s, d) => cleanCorpusStaged(s, d)),
 
     // Benchmark decontamination (the train/test-overlap gate every training corpus
     // needs): flag every corpus doc sharing any NORMALIZED word-3-gram (lowercase,
@@ -1149,23 +1223,11 @@ object TextOps {
         "SELECT doc_id, n_bigrams, bigram AS top_bigram, c AS top_n, " +
         "round(CAST(c AS DOUBLE) / n_bigrams, 6) + 0 AS rep_ratio " +
         "FROM rk WHERE rk = 1 ORDER BY doc_id"),
-    "d10_clean_corpus" ->
-      ("WITH RECURSIVE " +
-        "qd AS (SELECT doc_id, text, lang, n_chars FROM " +
-        "(SELECT doc_id, text, lang, n_chars, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop " +
-        s"FROM documents) WHERE $KeepSql), " +
-        "ex AS (SELECT doc_id, text, lang, n_chars FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qd) WHERE rn = 1), " +
-        candCteFrom("ex") + JaccardCte +
-        ", edges AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jac >= 0.5 " +
-        "UNION ALL SELECT id_b, id_a FROM jac WHERE jac >= 0.5)" +
-        ", reach(src, dst) AS (SELECT DISTINCT a, a FROM edges " +
-        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)" +
-        ", losers AS (SELECT src FROM reach GROUP BY src HAVING min(dst) <> src) " +
-        "SELECT doc_id, lang, n_chars FROM ex " +
-        "WHERE doc_id NOT IN (SELECT src FROM losers) ORDER BY doc_id"),
+    // one SQL, two engine entries: the fused and staged forms are row-identical
+    // by construction (shared stage builders; StagedCleanSpec pins it), so they
+    // share the oracle verbatim
+    "d10_clean_staged" -> CleanCorpusSql,
+    "d10_clean_corpus" -> CleanCorpusSql,
     "d11_decontam" ->
       ("WITH toks AS (SELECT doc_id, " +
         "string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ') AS tk " +
@@ -1205,4 +1267,26 @@ object TextOps {
         "round(63.0 / ((('0x' || substr(max(h), 1, 12))::BIGINT) / 281474976710656.0), 2) AS est_distinct " +
         "FROM topk"),
   )
+
+  /** The d10 pipeline's oracle SQL, shared verbatim by the fused
+    * (d10_clean_corpus) and staged (d10_clean_staged) entries — the two engine
+    * forms are row-identical by construction (shared stage builders).
+    */
+  private lazy val CleanCorpusSql: String =
+    "WITH RECURSIVE " +
+      "qd AS (SELECT doc_id, text, lang, n_chars FROM " +
+      "(SELECT doc_id, text, lang, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop " +
+      s"FROM documents) WHERE $KeepSql), " +
+      "ex AS (SELECT doc_id, text, lang, n_chars FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qd) WHERE rn = 1), " +
+      candCteFrom("ex") + JaccardCte +
+      ", edges AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jac >= 0.5 " +
+      "UNION ALL SELECT id_b, id_a FROM jac WHERE jac >= 0.5)" +
+      ", reach(src, dst) AS (SELECT DISTINCT a, a FROM edges " +
+      "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)" +
+      ", losers AS (SELECT src FROM reach GROUP BY src HAVING min(dst) <> src) " +
+      "SELECT doc_id, lang, n_chars FROM ex " +
+      "WHERE doc_id NOT IN (SELECT src FROM losers) ORDER BY doc_id"
 }

@@ -176,13 +176,15 @@ object VectorOps {
     * exchanges (2×64 floats per row) just to be deduped by id. Public so
     * ScaleCheck can measure candidate growth across scale factors.
     */
-  def embedCandidatePairs(emb: DataFrame, bits: Int = bandBits): DataFrame = {
-    val bb = banded(emb, bits)
-    bb.select(col("vec_id").as("id_a"), col("bi"), col("bucket"))
-      .join(bb.select(col("vec_id").as("id_b"), col("bi"), col("bucket")), Seq("bi", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  def embedCandidatePairs(emb: DataFrame, bits: Int = bandBits): DataFrame =
+    // Hot-bucket-guarded ([[LshGuard]], r16): sign-LSH buckets are DATA-
+    // correlated — a dense region of embedding space lands in one bucket at
+    // any band width, so the quadratic-bucket hazard is structural here, not
+    // just adversarial. Oversized buckets star on the bucket min; the default
+    // cap clears every measured corpus so d08/s02 oracle rows are untouched.
+    LshGuard.guardedSelfJoinPairs(
+      banded(emb, bits).select("vec_id", "bi", "bucket"),
+      "vec_id", Seq("bi", "bucket"))
 
   /** cos between two array<float> columns, full double accumulation via vec_dot. */
   private def cosOf(a: String, b: String): Column =
@@ -422,14 +424,12 @@ object VectorOps {
       // width from corpus size, NOT the 12-bit gate default: the frozen width
       // is a measured scale-killer (the round-11 sf100 sweep's heap OOM —
       // 9.8e8 candidate pairs at 2M vectors; see bandBitsFor)
-      val bb = banded(emb, bandBitsFor(embCountCached(s, d)))
       // candidate ids first: the bucket join and the cross-band distinct shuffle
       // ONLY (id_a, id_b) pairs — the 64-float payloads would otherwise ride
-      // through both exchanges (2×64 floats per row) just to be deduped by id
-      val pairs = bb.select(col("vec_id").as("id_a"), col("bi"), col("bucket"))
-        .join(bb.select(col("vec_id").as("id_b"), col("bi"), col("bucket")), Seq("bi", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      // through both exchanges (2×64 floats per row) just to be deduped by id.
+      // Shared with the [[embedCandidatePairs]] probe, which also brings the
+      // r16 hot-bucket guard (a dense embedding region's bucket stays linear).
+      val pairs = embedCandidatePairs(emb, bandBitsFor(embCountCached(s, d)))
       val dot = expr("vec_dot(ea, eb)")
       val na = expr("vec_dot(ea, ea)")
       val nb = expr("vec_dot(eb, eb)")

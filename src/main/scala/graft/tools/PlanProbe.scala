@@ -59,6 +59,12 @@ object PlanProbe {
       // the rep's live trough, and (start - trough) its live scratch peak.
       // statfs is ~microseconds, so 2 Hz costs nothing against 100 s reps.
       val trough = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+      // epoch stamp closes the reset race (r15 ADVICE): a statfs sample taken
+      // between reps — after the rep loop bumps the epoch but before trough
+      // .set — would otherwise be accumulated into the NEXT rep's trough,
+      // inflating its scratch_peak_gb; the poller discards any sample whose
+      // epoch moved while it was sampling
+      val epoch = new java.util.concurrent.atomic.AtomicLong(0)
       // never reset: the explain() below EXECUTES eager builders (cache
       // builds, Components' loop) whose scratch usage the per-rep trough
       // erases — the r15 d09 probe reached rep start with only 2.8 GB free,
@@ -67,8 +73,10 @@ object PlanProbe {
       val scratchBaseline = graft.queries.Sizing.usableScratchBytes(spark)
       val poller = new Thread(new Runnable {
         def run(): Unit = while (true) {
+          val e0 = epoch.get
           val u = graft.queries.Sizing.usableScratchBytes(spark)
-          trough.accumulateAndGet(u, (a: Long, b: Long) => math.min(a, b))
+          if (epoch.get == e0)
+            trough.accumulateAndGet(u, (a: Long, b: Long) => math.min(a, b))
           globalTrough.accumulateAndGet(u, (a: Long, b: Long) => math.min(a, b))
           Thread.sleep(500)
         }
@@ -78,6 +86,7 @@ object PlanProbe {
       println(s"=== $name @ $dir ===")
       q(spark, dir).explain("formatted")
       for (i <- 1 to reps) {
+        epoch.incrementAndGet()
         val scratchStart = graft.queries.Sizing.usableScratchBytes(spark)
         trough.set(scratchStart)
         val (sp0, sh0) = drained()

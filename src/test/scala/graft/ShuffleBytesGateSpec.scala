@@ -48,7 +48,11 @@ class ShuffleBytesGateSpec extends AnyFunSuite {
     // broadcast-protected: measured ceilings (see scaladoc) — healthy 0.002
     // and 0.217 MB; a lost broadcast lands at 0.15+ and ~1+ MB respectively
     ("b15_dimjoin", 0, 0.1),
-    ("d11_decontam", 0, 1.0))
+    // 0.5 = 2.3x the measured healthy 0.217 MB; the old 1.0 ceiling sat ON
+    // the measured broken-plan landing zone (~1+ MB) so a regression at
+    // 0.9 MB would have passed (r15 ADVICE — same measured-ceiling method
+    // as b15)
+    ("d11_decontam", 0, 0.5))
 
   private lazy val metrics: StageMetrics = {
     val m = new StageMetrics

@@ -15,6 +15,7 @@ class KnobsSpec extends AnyFunSuite {
 
   test("unset knobs fall through (None)") {
     assert(Knobs.bool("GRAFT_TEST_KNOB_THAT_IS_NEVER_SET").isEmpty)
+    assert(Knobs.int("GRAFT_TEST_KNOB_THAT_IS_NEVER_SET").isEmpty)
   }
 
   test("production knob sites all parse via Knobs.bool") {
@@ -29,7 +30,8 @@ class KnobsSpec extends AnyFunSuite {
       } finally s.close()
     }
     val knobs = Seq("SPARK_GRAFT_RETIRE_PAIRS", "SPARK_GRAFT_D11_CACHE",
-      "SPARK_GRAFT_VERIFY_ARRAYS", "SPARK_GRAFT_PREFLIGHT")
+      "SPARK_GRAFT_VERIFY_ARRAYS", "SPARK_GRAFT_PREFLIGHT",
+      "SPARK_GRAFT_BUCKET_CAP")
     for (f <- scalaFiles) {
       val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
       for (k <- knobs) {

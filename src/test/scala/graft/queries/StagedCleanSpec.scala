@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+
+/** Pins d10_clean_staged ≡ d10_clean_corpus row-for-row on a real corpus: the
+  * staged form exists purely for its storage profile (live scratch ~max stage
+  * instead of the fused plan's measured 11.57×-of-input sum — see
+  * [[TextOps.cleanCorpusStaged]]); its OUTPUT must be bit-identical, and both
+  * share one oracle SQL on the driver side.
+  */
+class StagedCleanSpec extends AnyFunSuite {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("staged boundaries do not change a single row") {
+    val fused = TextOps.queries("d10_clean_corpus")(spark, sf001).collect()
+    val staged = TextOps.queries("d10_clean_staged")(spark, sf001).collect()
+    assert(fused.length === staged.length)
+    assert(fused.map(_.toString).toSeq === staged.map(_.toString).toSeq)
+    assert(fused.nonEmpty) // non-vacuous: the corpus has quality survivors
+  }
+
+  test("stage tables land under the stage root and are re-read, not re-planned") {
+    val root = java.nio.file.Files.createTempDirectory("graft-staged-spec").toString
+    val out = TextOps.cleanCorpusStaged(spark, sf001, Some(root))
+    // the three boundary tables exist on disk after the eager build
+    for (t <- Seq("survivors", "candidates", "edges"))
+      assert(new java.io.File(s"$root/$t.parquet").exists(), s"missing stage $t")
+    // the returned plan's scan reads the survivors boundary, not the documents
+    // table — lineage truncation is the whole point (physical plan: the
+    // logical form prints relations without their file locations)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("survivors.parquet"), plan.take(2000))
+    assert(!plan.contains("documents.parquet"), plan.take(2000))
+    assert(out.count() === TextOps.queries("d10_clean_corpus")(spark, sf001).count())
+  }
+}
