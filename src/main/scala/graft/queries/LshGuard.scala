@@ -44,11 +44,17 @@ import org.apache.spark.sql.functions._
 object LshGuard {
 
   /** Default cap, overridable via SPARK_GRAFT_BUCKET_CAP. Sized from
-    * measurement (SCALECHECK.md r16 bucket-size table): the largest observed
-    * bucket in any corpus this build measures is ≤8 for MinHash bands
-    * (sf0.001–sf1000) and small-hundreds for sign-LSH embedding bands at the
-    * gate scales — 4096 sits an order of magnitude above both, while still
-    * capping an adversarial 10⁵-member bucket's 5·10⁹ pairs at 10⁵−1 edges.
+    * measurement (tools.BucketStats; SCALECHECK.md r16 bucket-size table):
+    * MinHash (band, sig) buckets max out at 16 on sf0.1/sf1 and at 2704 on
+    * sf1000 — the synthesis cipher's fixed-point residue family (all-digit /
+    * stopword-invariant docs colliding across composite replicas), i.e. a
+    * genuine boilerplate-class duplicate group, which the 4096 default still
+    * clears so every recorded sf1000 measurement keeps its exact byte
+    * profile; sign-LSH embedding buckets max at 5 everywhere (corpus-derived
+    * band width holds occupancy flat — 20M vectors at 28 bits). At the next
+    * decade the residue family would legitimately cross the cap and the
+    * guard stars it — the intended behavior for a true mega-dup group. An
+    * adversarial 10⁵-member bucket's 5·10⁹-pair clique becomes 10⁵−1 edges.
     */
   val DefaultCap = 4096
 

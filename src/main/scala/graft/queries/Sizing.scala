@@ -230,7 +230,21 @@ object Sizing {
     "d05_jaccard" -> 9.2,
     "d09_dedup_clusters" -> 9.2,
     "d10_clean_corpus" -> 12.0,
-    "d11_decontam" -> 6.5)
+    "d11_decontam" -> 6.5,
+    // The relational spill family (r16), anchored on LINEITEM (see
+    // [[ScratchInputTable]]), dense-measured at sf100 (9.94 GB lineitem,
+    // 16g/16, 500 ms polling): b10 4.8 GB global peak (0.48x) — its 64 GB
+    // cumulative spill frees per merge and never accumulates; b18 11.6 GB
+    // across two same-JVM reps (1.17x — rep-1 alone peaked 7.6 GB, shuffle
+    // files outlive the rep until GC, so the table covers the repeated-run
+    // shape); b20 13.8 GB (1.39x, its 14.1 GB shuffle write held live).
+    // Table = measured + ~15-25% (the shortfall-is-fatal margin); single
+    // decade only — sf1000 ships no lineitem — so these assume the same
+    // footprint-proportionality every documents-family ratio demonstrated
+    // across its decades.
+    "b10_slice" -> 0.6,
+    "b18_arrays" -> 1.4,
+    "b20_math" -> 1.6)
 
   /** Which table's on-disk footprint anchors each family's expansion ratio.
     * The text/dedup families key on the documents table (historical rows

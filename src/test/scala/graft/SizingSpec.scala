@@ -375,4 +375,22 @@ class SizingSpec extends AnyFunSuite {
     assert(Sizing.ScratchExpansion("d09_dedup_clusters") <= 51.0 / 5.4)
     assert(Sizing.ScratchExpansion("d10_clean_corpus") <= 65.0 / 5.4)
   }
+
+  test("relational spill family: lineitem-anchored ratios cover the sf100 peaks (r16)") {
+    // dense-measured global peaks / the 9.94 GB sf100 lineitem footprint
+    // (16g/16, two same-JVM reps — shuffle files outlive a rep until GC, so
+    // the measured number is the repeated-run accumulation where it occurred)
+    val measured = Map(
+      "b10_slice" -> 4.8 / 9.94, "b18_arrays" -> 11.6 / 9.94,
+      "b20_math" -> 13.8 / 9.94)
+    for ((q, m) <- measured) {
+      assert(Sizing.ScratchInputTable(q) === "lineitem",
+        s"$q must anchor on the table it actually exchanges")
+      val table = Sizing.ScratchExpansion(q)
+      assert(table >= m, s"$q: table ratio $table under the measured peak $m")
+      assert(table <= m * 1.35, s"$q: table ratio $table over-refuses vs measured $m")
+    }
+    // the documents-family rows keep their historical anchor by default
+    assert(!Sizing.ScratchInputTable.contains("d10_clean_corpus"))
+  }
 }

@@ -84,4 +84,41 @@ class ComponentsSpec extends AnyFunSuite {
     val expected = parent.keys.map(k => k -> find(k)).toMap
     assert(got === expected)
   }
+
+  // CI pins of the r16 giant-component shapes (ScaleCheck's `giant` step runs
+  // them at 1e6/1e5 nodes: 3 and 7 rounds against bounds 44/38); production
+  // dedup graphs have 1e5-node boilerplate stars and chains of stars, and the
+  // round count must stay logarithmic, not diameter-linear
+  private def logBound(n: Long): Int =
+    2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 4
+
+  test("giant star centered at the MAX id: log-bounded rounds, min label wins") {
+    // center = max id so the min label must propagate from a leaf, not ride
+    // the start state
+    val n = 10000L
+    val star = spark.range(0L, n - 1)
+      .select(col("id").as("id_a"), lit(n - 1).as("id_b"))
+    val (labels, rounds) = Components.minLabelComponentsWithRounds(
+      star, maxRounds = logBound(n))
+    assert(rounds <= logBound(n))
+    assert(labels.count() === n) // exactly one row per node, never edge-sized
+    assert(labels.filter(col("lbl") =!= 0L).count() === 0)
+  }
+
+  test("chain of stars (diameter >> rounds): pointer jumping earns its keep") {
+    // 20 stars of 100 leaves, centers chained: diameter ~40, plain propagation
+    // would need ~20+ rounds; pointer jumping must stay within the log bound
+    val stars = 20L
+    val leaves = spark.range(0L, stars * 100)
+      .select(((col("id") / 100).cast("long") * 101).as("id_a"),
+        ((col("id") / 100).cast("long") * 101 + (col("id") % 100) + 1).as("id_b"))
+    val chain = spark.range(0L, stars - 1)
+      .select((col("id") * 101).as("id_a"), ((col("id") + 1) * 101).as("id_b"))
+    val n = stars * 101
+    val (labels, rounds) = Components.minLabelComponentsWithRounds(
+      leaves.unionByName(chain), maxRounds = logBound(n))
+    assert(rounds <= logBound(n))
+    assert(labels.count() === n)
+    assert(labels.filter(col("lbl") =!= 0L).count() === 0)
+  }
 }
