@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hot-bucket guard for LSH candidate generation (r16; the one scale hazard
@@ -31,15 +30,36 @@ import org.apache.spark.sql.functions._
   * (BucketGuardSpec pins guarded ≡ unguarded there, so all oracle rows are
   * bit-identical with the guard in place).
   *
-  * Plan shape (the part that makes the guard ~free when it never fires): the
-  * size/min accounting is a WINDOW over the self-join's a-side, partitioned
-  * on the join keys — it rides the exchange+sort the SortMergeJoin needs
-  * anyway instead of adding a corpus-sized aggregation exchange. The c-side
-  * keeps oversized buckets; they stream through the merge join finding zero
-  * a-side matches (linear, no output). WindowExec buffers one bucket at a
-  * time and spills past `spark.sql.windowExec.buffer.spill.threshold`, so
-  * even the adversarial bucket itself never holds more than its own narrow
-  * rows.
+  * Plan shape (r16, second iteration — the first was measured and replaced):
+  * ONE aggregation exchange of the membership frame, then pair emission by
+  * exploding each bucket's collected id list — no self-join at all.
+  *
+  * Why not the self-join: the original guard put the size/min accounting as
+  * a WINDOW on the join's a-side, reasoning it would ride the SortMergeJoin's
+  * own exchange. Measured (SCALECHECK.md r16): exchange REUSE does not fire
+  * across the join/window/star consumers on Spark 4.1 + AQE + cached input,
+  * so the membership frame was physically shuffled THREE times (window side,
+  * plain c-side, star branch) — and even the pre-guard join wrote it TWICE
+  * (both SMJ sides; d04 at sf100: 1530 MB unguarded, 2266 MB with the
+  * windowed guard, one bands copy ≈ 736 MB). The aggregate form writes it
+  * ONCE by construction: a single groupBy(keys).collect_list(id), with both
+  * regimes emitted from the SAME pass — `explode(when(n <= cap, ids)
+  * .otherwise(array(min)))` yields every member as an a-side below the cap
+  * and only the representative above it, so no union, no second consumer,
+  * no reliance on exchange reuse (measured 796 MB at sf100, −48% vs the
+  * unguarded join, −65% vs the windowed guard).
+  *
+  * Memory bound, stated not hidden: the per-bucket id LIST is linear in
+  * bucket size (the quadratic pair emission stays capped), so a bucket's
+  * aggregation state is 8 B × members — the measured sf1000 max (2704) is
+  * ~21 KB, the planted 10⁵ megacluster ~800 KB, and ObjectHashAggregate
+  * falls back to sort-based aggregation (one group at a time) under
+  * pressure. A 10⁸-member bucket (~800 MB list) would be the wall — but
+  * members are EXACT-dedup survivors' band signatures, so a bucket that
+  * size means 10⁸ DISTINCT texts sharing a MinHash band, far beyond any
+  * boilerplate family this design targets. The ≤cap clique branch carries
+  * the bucket's list once per member through the second explode (≤ cap × 8 B
+  * per row), which the cap itself bounds.
   */
 object LshGuard {
 
@@ -68,19 +88,22 @@ object LshGuard {
   def guardedSelfJoinPairs(b: DataFrame, idCol: String, keyCols: Seq[String],
       cap: Int = cap): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2, got $cap")
-    val keys = keyCols.map(col)
-    val w = Window.partitionBy(keys: _*)
-    val a = b.select(col(idCol).as("id_a") +: keys: _*)
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__bmin", min(col("id_a")).over(w))
-    val c = b.select(col(idCol).as("id_b") +: keys: _*)
-    val cliques = a.filter(col("__bsz") <= cap)
-      .join(c, keyCols)
+    val ids = col("__ids")
+    b.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("__ids"))
+      // keys served their purpose (the grouping); prune them before the
+      // explode so bucket rows ride as a bare list. Singleton buckets (the
+      // overwhelming majority on a benign corpus) emit no pairs — drop them
+      // before any generator runs.
+      .select(ids)
+      .filter(size(ids) > 1)
+      // a-side: every member below the cap (clique regime), ONLY the min id
+      // above it (star regime) — one branch, both semantics
+      .select(explode(when(size(ids) <= cap, ids)
+        .otherwise(array(array_min(ids)))).as("id_a"), ids)
+      .select(col("id_a"), explode(ids).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val stars = a.filter(col("__bsz") > cap && col("id_a") =!= col("__bmin"))
-      .select(col("__bmin").as("id_a"), col("id_a").as("id_b"))
-    cliques.unionByName(stars).distinct()
+      .distinct()
   }
 
   /** The unguarded clique form, kept as the equivalence baseline
