@@ -216,11 +216,15 @@ object Sizing {
     *     proven-fit 9.44x (the 51 GB box survived), so the demonstrated
     *     shape still passes while an estimate-sized volume now refuses
     *   - d10 (exact dedup + verify + components + anti-join, end-to-end):
-    *     dense-MEASURED 11.57x in r15 (global peak 62.5 GB from a 65.0 GB
-    *     baseline; the r13 death at 51 GB free is fully explained) — the
-    *     12x table value over-estimates the true peak by 3.7%, the safe
-    *     direction, so it stays (a preflight that lands a few GB under the
-    *     true peak converts a refusal into an hour-long crash).
+    *     dense-MEASURED 11.57x in r15 on the two-copy join plan (global peak
+    *     62.5 GB from a 65.0 GB baseline; the r13 death at 51 GB free is
+    *     fully explained), re-measured 10.22x in r16 on the aggregate
+    *     candidate plan (55.2 GB from 72.4) — and the short-lived r16
+    *     windowed guard measured 12.94x, OVER this table, which is the
+    *     measured reason that guard was rewritten (SCALECHECK r16 §5–6).
+    *     The 12x table value keeps 17% margin over the current plan's peak.
+    *     The staged form (d10_clean_staged) peaks at 8.46x and is FASTER —
+    *     the shape a 100 TB deployment should run.
     *
     * Four fifth-decade runs in round 13 died (or were blocked) on scratch
     * exhaustion MID-RUN, each after minutes-to-hours of useful work;
@@ -230,6 +234,11 @@ object Sizing {
     "d05_jaccard" -> 9.2,
     "d09_dedup_clusters" -> 9.2,
     "d10_clean_corpus" -> 12.0,
+    // The materialized-boundary form (r16, dense-measured at sf1000 on the
+    // aggregate candidate plan): 45.7 GB live peak = 8.46x vs the fused
+    // form's 10.22x — stage files free at each boundary instead of
+    // accumulating to the final action. Table = measured + ~12%.
+    "d10_clean_staged" -> 9.5,
     "d11_decontam" -> 6.5,
     // The relational spill family (r16), anchored on LINEITEM (see
     // [[ScratchInputTable]]), dense-measured at sf100 (9.94 GB lineitem,

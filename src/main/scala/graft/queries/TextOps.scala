@@ -628,11 +628,14 @@ object TextOps {
     * materializes an intermediate table"). Each stage writes parquet and the
     * next reads it back, truncating lineage: the fused plan keeps every
     * stage's shuffle files alive until the final action (dense-measured
-    * 11.57× the input in live scratch at sf1000 — the closest-to-the-wall
-    * shape on any box), while here a stage's shuffle files become collectable
-    * as soon as its boundary table is written, so the live peak is ~the MAX
-    * stage footprint plus the narrow boundary tables, not the SUM
-    * (SCALECHECK.md r16 has the measured pair). Row-identical to
+    * 10.22× the input in live scratch at sf1000 on the aggregate candidate
+    * plan — the closest-to-the-wall shape on any box), while here a stage's
+    * shuffle files become collectable as soon as its boundary table is
+    * written, so the live peak is ~the MAX stage footprint plus the narrow
+    * boundary tables, not the SUM — measured 8.46× AND 17% faster than the
+    * fused form at sf1000 (717 vs 868 s same-day; SCALECHECK.md r16 §6 has
+    * the full pair — the boundaries also spare the fused plan's
+    * re-execution of shared stages across consumers). Row-identical to
     * [[cleanCorpus]] by construction — same stage builders — and pinned by
     * StagedCleanSpec plus the shared d10 oracle SQL.
     *
