@@ -232,7 +232,11 @@ object Sizing {
     */
   val ScratchExpansion: Map[String, Double] = Map(
     "d05_jaccard" -> 9.2,
-    "d09_dedup_clusters" -> 9.2,
+    // r16 re-measure on the aggregate candidate plan at 8g/16/2048: 49.8 GB
+    // live peak = 9.22x — a hair OVER the old 9.2 entry (and the old
+    // 1024-partition shape OOMs on this plan: execution memory, not disk —
+    // SCALECHECK r16 §7). Raised to 9.8 (+6% over measured).
+    "d09_dedup_clusters" -> 9.8,
     "d10_clean_corpus" -> 12.0,
     // The materialized-boundary form (r16, dense-measured at sf1000 on the
     // aggregate candidate plan): 45.7 GB live peak = 8.46x vs the fused

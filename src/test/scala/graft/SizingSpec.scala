@@ -364,8 +364,12 @@ class SizingSpec extends AnyFunSuite {
     // under the true peak converts a refusal into an hour-long disk death —
     // and within ~1.35x of it (beyond that the preflight refuses shapes
     // that measurably fit).
+    // d05 keeps its r15 worst-case 9.05x (the r16 aggregate plan re-measured
+    // LOWER, 8.87x); d09 takes its r16 re-measure 9.22x at 8g/16/2048 —
+    // which sat a hair OVER the old 9.2 table entry, the exact fatal
+    // direction this test exists to catch.
     val measured = Map(
-      "d05_jaccard" -> 9.05, "d09_dedup_clusters" -> 9.05,
+      "d05_jaccard" -> 9.05, "d09_dedup_clusters" -> 9.22,
       "d10_clean_corpus" -> 10.22, "d10_clean_staged" -> 8.46,
       "d11_decontam" -> 5.91)
     for ((q, m) <- measured) {
@@ -379,7 +383,10 @@ class SizingSpec extends AnyFunSuite {
     // refusing a proven-fit shape trades a measured success for a refusal
     // (the over-conservative failure direction)
     assert(Sizing.ScratchExpansion("d05_jaccard") <= 51.0 / 5.4)
-    assert(Sizing.ScratchExpansion("d09_dedup_clusters") <= 51.0 / 5.4)
+    // d09's 51 GB-box survival was OLD-plan evidence; its r16 peak (49.8 GB)
+    // leaves only 1.2 GB slack there, so the demonstrated-fit bound is the
+    // 72 GB box the r16 measurement ran on
+    assert(Sizing.ScratchExpansion("d09_dedup_clusters") <= 72.0 / 5.4)
     assert(Sizing.ScratchExpansion("d10_clean_corpus") <= 65.0 / 5.4)
     assert(Sizing.ScratchExpansion("d10_clean_staged") <= 65.0 / 5.4)
   }
