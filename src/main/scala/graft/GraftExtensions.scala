@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BigramStats, CountWordsIn, MinHash8, NormalizeText, RollingFp, ShingleHashes, SimHash128, SimHash64, TokenCounts, TokenHash16, VecDot}
+import graft.functions.{BigramStats, BoundedCollectMin, CountWordsIn, MinHash8, NormalizeText, RollingFp, ShingleHashes, SimHash128, SimHash64, TokenCounts, TokenHash16, VecDot}
 
 /** Cluster-wide registration of graft's native SQL functions via
   * `spark.sql.extensions=graft.GraftExtensions` — the standard way to ship custom
@@ -95,6 +95,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "shingle_hashes takes one argument")
         ShingleHashes(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_collect_min"),
+      new ExpressionInfo(classOf[BoundedCollectMin].getName, "bounded_collect_min"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bounded_collect_min takes (value, limit)")
+        require(args(1).foldable, "bounded_collect_min limit must be a literal")
+        BoundedCollectMin(args.head, args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"bounded_collect_min limit must be an integer literal, got $other")
+        })
       }))
   }
 }

@@ -712,6 +712,33 @@ object ScaleCheck {
           cliqueJson +
           f""""d09_rows":$d9rows,"d09_sec":$d9sec%.1f,"d10_rows":$d10rows,""" +
           f""""d10_sec":$d10sec%.1f,"planted_survivors":$plantedSurvivors}""")
+        // r17: the SimHash family's A/B on the SAME planted corpus — the last
+        // family routed through the guard. The planted docs' signatures are
+        // dominated by the shared 44-token boilerplate, so they collide into
+        // identical-value band buckets AND every emitted pair passes the
+        // hamming verify (the true-duplicate regime where d07's r10 inline
+        // filter alone was no defense — the distinct still materialized the
+        // clique). small leg: direct guarded-vs-clique candidate A/B; full
+        // leg: guarded only, clique projected from the bucket stats.
+        locally {
+          val shBands = graft.queries.TextOps.simhashBandFrameForProbe(spark, megaDir)
+          val shOver = graft.queries.LshGuard.oversizedBuckets(
+            shBands, Seq("bi", "bv")).collect()
+          val shOverMax = if (shOver.isEmpty) 0L else shOver.map(_.getLong(2)).max
+          val (shVer, shVerSec) = timed(
+            graft.SparkEntry.queries("d07_simhash_neardup")(spark, megaDir).count())
+          val shCliqueJson = if (label == "small") {
+            val (cp, cs) = timed(graft.queries.LshGuard.cliqueSelfJoinPairs(
+              shBands, "doc_id", Seq("bi", "bv")).count())
+            f""""clique_pairs":$cp,"clique_sec":$cs%.1f,"""
+          } else {
+            f""""clique_pairs_projected":${shOverMax * (shOverMax - 1) / 2},"""
+          }
+          println(f"""SCALECHECK {"step":"megacluster_simhash","leg":"$label",""" +
+            f""""planted":$n,"oversized_buckets":${shOver.length},""" +
+            f""""max_bucket":$shOverMax,"verified_pairs":$shVer,""" +
+            f""""verified_sec":$shVerSec%.1f,""" + shCliqueJson.dropRight(1) + "}")
+        }
         graft.Caches.clearAll()
       }
     }

@@ -80,8 +80,14 @@ object Multimodal {
     * FILE cache — an executor thread must not create a temp file per payload.
     * Returns None (→ fake fallback) for unknown magics, truncated/corrupt
     * headers, or absurd parsed dims.
+    *
+    * `n_frames` is REAL too (r17) for the one in-JDK format where multi-frame
+    * is a real thing: GIF payloads get `ImageReader.getNumImages(true)` on the
+    * already-open reader — a block-structure walk over the in-memory stream,
+    * still no pixel decode. BMP/PNG/JPEG are single-frame by format (ImageIO
+    * has no APNG reader), so their frame count is the constant 1, not a probe.
     */
-  private[multimodal] def realDecode(bytes: Array[Byte]): Option[(Int, Int)] =
+  private[multimodal] def realDecode(bytes: Array[Byte]): Option[(Int, Int, Int)] =
     if (!looksLikeImage(bytes)) None
     else {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -92,10 +98,16 @@ object Multimodal {
         else {
           val r = readers.next()
           try {
-            r.setInput(iis, true, true)
+            // allowSearch is safe here: the stream is a bounded in-memory
+            // buffer, so the "search" is a bounded header walk, not I/O
+            r.setInput(iis, false, true)
             val w = r.getWidth(0)
             val h = r.getHeight(0)
-            if (w > 0 && h > 0 && w <= (1 << 24) && h <= (1 << 24)) Some((w, h))
+            val frames =
+              if (bytes(0) == 'G'.toByte) math.max(1, r.getNumImages(true))
+              else 1
+            if (w > 0 && h > 0 && w <= (1 << 24) && h <= (1 << 24))
+              Some((w, h, frames))
             else None
           } finally r.dispose()
         }
@@ -158,8 +170,8 @@ object Multimodal {
             if (mime != null && mime.startsWith("image/")) realDecode(bytes)
             else None
           real match {
-            case Some((w, h)) =>
-              (id, mime, bytes.length.toLong, w, h, 1, fingerprintOf(bytes))
+            case Some((w, h, frames)) =>
+              (id, mime, bytes.length.toLong, w, h, frames, fingerprintOf(bytes))
             case None =>
               val (w, h, f, fp) = fakeDecode(bytes)
               (id, mime, bytes.length.toLong, w, h, f, fp)
@@ -194,6 +206,49 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), least(col("n_frames") - 1, lit((maxFrames - 1).toLong * stride)),
           lit(stride.toLong))).as("frame_idx"))
+
+  /** Deterministic animated GIF payload, a pure function of `id` — the
+    * multi-frame analog of [[syntheticBmp]], written through the JDK's own GIF
+    * encoder (so the bytes are a real GIF89a the decode path must genuinely
+    * parse): frame count = 2 + id mod 7, dims = (8 + id mod 13, 8 + id mod 11),
+    * frame f's pixels a pure function of (id, f, x, y). MultimodalSpec decodes
+    * these through [[realDecode]] and asserts the parsed frame count equals
+    * this function's.
+    */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val frames = 2 + java.lang.Math.floorMod(id, 7L).toInt
+    val w = 8 + java.lang.Math.floorMod(id, 13L).toInt
+    val h = 8 + java.lang.Math.floorMod(id, 11L).toInt
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((id + f + x) & 0xff) << 16 |
+              ((id + y) & 0xff).toInt << 8 | ((x ^ y) & 0xff).toInt).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
 
   /** Wrap any table into the media contract by treating a string column's UTF-8
     * bytes as the payload — how the test tables (no real images in the container)

@@ -1,20 +1,21 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Hot-bucket guard for LSH candidate generation (r16; the one scale hazard
-  * r15's audit left open).
+/** Hot-bucket guard for LSH candidate generation (r16; bounded-state and
+  * payload-carrying since r17).
   *
   * A bucket self-join emits |bucket|²/2 pairs from a single (band, sig) key:
   * benign corpora never show it (every measured corpus sits at a flat ~0.15
   * pairs/doc because md5-128 band signatures make random collisions nil), but
   * a real 100 TB corpus has boilerplate mega-clusters — 10⁵ near-identical
   * docs in one bucket is 10¹⁰ pairs from one key, materialized by the
-  * pair-level distinct and the verify checkpoint. This is the same failure
-  * class d07 fixed in its random-collision regime (inline hamming, r10),
-  * here for the TRUE-duplicate regime where the colliding docs really are
-  * near-dups of each other.
+  * pair-level distinct and the verify checkpoint. This failure class is worst
+  * in the TRUE-duplicate regime, where the colliding docs really are
+  * near-dups of each other — for SimHash that means every streamed pair also
+  * PASSES the hamming verify, so inline filtering (d07's r10 fix for the
+  * random-collision regime) is no defense there.
   *
   * The guard: buckets over `cap` members short-circuit to a STAR on the
   * bucket's min id — every member pairs with the representative only
@@ -24,15 +25,15 @@ import org.apache.spark.sql.functions._
   * clique fed each consumer: d09/d10's connected components (a verified star
   * is one component, same as a verified clique), and dedup keep-min semantics.
   * What it deliberately gives up in the capped regime is the exhaustive
-  * pair LIST (d04) and per-pair Jaccard values for non-representative pairs
-  * (d05) — the documented trade, knob-controlled, and inactive below the cap:
-  * `SPARK_GRAFT_BUCKET_CAP` defaults far above every measured benign corpus
-  * (BucketGuardSpec pins guarded ≡ unguarded there, so all oracle rows are
-  * bit-identical with the guard in place).
+  * pair LIST (d04) and per-pair verify values for non-representative pairs
+  * (d05/d07) — the documented trade, knob-controlled, and inactive below the
+  * cap: `SPARK_GRAFT_BUCKET_CAP` defaults far above every measured benign
+  * corpus (BucketGuardSpec pins guarded ≡ unguarded there, so all oracle rows
+  * are bit-identical with the guard in place).
   *
-  * Plan shape (r16, second iteration — the first was measured and replaced):
-  * ONE aggregation exchange of the membership frame, then pair emission by
-  * exploding each bucket's collected id list — no self-join at all.
+  * Plan shape (r16 aggregate form; r17 emission): ONE aggregation exchange of
+  * the membership frame, then pair emission by exploding each bucket's
+  * collected member list — no self-join at all.
   *
   * Why not the self-join: the original guard put the size/min accounting as
   * a WINDOW on the join's a-side, reasoning it would ride the SortMergeJoin's
@@ -42,24 +43,38 @@ import org.apache.spark.sql.functions._
   * plain c-side, star branch) — and even the pre-guard join wrote it TWICE
   * (both SMJ sides; d04 at sf100: 1530 MB unguarded, 2266 MB with the
   * windowed guard, one bands copy ≈ 736 MB). The aggregate form writes it
-  * ONCE by construction: a single groupBy(keys).collect_list(id), with both
-  * regimes emitted from the SAME pass — `explode(when(n <= cap, ids)
-  * .otherwise(array(min)))` yields every member as an a-side below the cap
-  * and only the representative above it, so no union, no second consumer,
-  * no reliance on exchange reuse (measured 796 MB at sf100, −48% vs the
-  * unguarded join, −65% vs the windowed guard).
+  * ONCE by construction, with both regimes emitted from the SAME pass
+  * (measured 796 MB at sf100, −48% vs the unguarded join).
   *
-  * Memory bound, stated not hidden: the per-bucket id LIST is linear in
-  * bucket size (the quadratic pair emission stays capped), so a bucket's
-  * aggregation state is 8 B × members — the measured sf1000 max (2704) is
-  * ~21 KB, the planted 10⁵ megacluster ~800 KB, and ObjectHashAggregate
-  * falls back to sort-based aggregation (one group at a time) under
-  * pressure. A 10⁸-member bucket (~800 MB list) would be the wall — but
-  * members are EXACT-dedup survivors' band signatures, so a bucket that
-  * size means 10⁸ DISTINCT texts sharing a MinHash band, far beyond any
-  * boilerplate family this design targets. The ≤cap clique branch carries
-  * the bucket's list once per member through the second explode (≤ cap × 8 B
-  * per row), which the cap itself bounds.
+  * Emission (r17, replacing r16's explode-full-list + `id_a < id_b` filter):
+  * each bucket's list is sorted once, the a-side posexplodes it, and the
+  * b-side explodes only `slice(list, p+2, …)` — the members strictly AFTER
+  * the a-member in sort order. Ordering holds by construction (no filter
+  * evaluates), no generated row is discarded, and the carried b-side array
+  * halves on average — the fix for d04's measured low-parallelism emission
+  * cost (9.2 → 24.1 s at the sf100 sweep's 16-way shape on the r16 form).
+  *
+  * Memory bound — BY CONSTRUCTION since r17, not by argument: aggregation
+  * runs through [[graft.functions.BoundedCollectMin]], whose state holds the
+  * exact bucket count, the exact bucket min, and AT MOST `stateCap` retained
+  * members. The r16 collect_list form's state was linear in bucket size (a
+  * pathological 10⁸-member bucket ≈ an 800 MB aggregation row, stated then as
+  * out of design range); now a bucket beyond `stateCap` keeps a bounded
+  * first-seen subset and its star degrades gracefully: the min (exact at any
+  * size) pairs with the retained members only, and members beyond the bound
+  * simply receive no candidate edge — they stay independent docs, the safe
+  * direction for every consumer (dedup keeps them; components leave them
+  * singleton). `stateCap` defaults 64× above the star threshold
+  * (`SPARK_GRAFT_BUCKET_STATE_CAP` to override), so the degradation regime
+  * starts two orders of magnitude past the largest measured real bucket.
+  * Below `cap` (≤ stateCap always, enforced) the retained list is provably
+  * complete, so the clique regime is untouched.
+  *
+  * Precondition on the id / member column: non-null. [[graft.functions
+  * .BoundedCollectMin]] skips nulls like collect_list, so a null id would
+  * silently vanish from its bucket's count and pair set (the r16 advice
+  * note on the collect_list form, now part of the stated contract). Every
+  * caller passes a non-null doc_id / vec_id / (id, sig) struct.
   */
 object LshGuard {
 
@@ -80,30 +95,69 @@ object LshGuard {
 
   def cap: Int = Knobs.int("SPARK_GRAFT_BUCKET_CAP").getOrElse(DefaultCap)
 
+  /** Default aggregation-state bound: 64× [[DefaultCap]] (≈ 2 MB of retained
+    * longs, ≈ 6 MB of (id, sig) structs per worst-case bucket row), two
+    * orders of magnitude above the largest measured real bucket (2704 at
+    * sf1000). Between `cap` and this bound the star is exhaustive; beyond it
+    * the star covers the retained subset only (see the degradation contract
+    * above). Override with SPARK_GRAFT_BUCKET_STATE_CAP.
+    */
+  val DefaultStateCap: Int = DefaultCap * 64
+
+  def stateCap: Int =
+    Knobs.int("SPARK_GRAFT_BUCKET_STATE_CAP").getOrElse(DefaultStateCap)
+
   /** Pairs of ids sharing any key-bucket of `b` (one row per id per bucket
     * membership), `id_a < id_b`, deduped across buckets — the LSH candidate
     * self-join — with buckets over `cap` members emitting a star on the
     * bucket min instead of the quadratic clique.
     */
   def guardedSelfJoinPairs(b: DataFrame, idCol: String, keyCols: Seq[String],
-      cap: Int = cap): DataFrame = {
+      cap: Int = cap, stateCap: Int = stateCap): DataFrame =
+    guardedMemberPairs(b, idCol, keyCols, cap, stateCap)
+      .withColumnsRenamed(Map("m_a" -> "id_a", "m_b" -> "id_b"))
+      .distinct()
+
+  /** The guard's streaming core: one row per in-bucket ordered member pair
+    * (`m_a < m_b` in `memberCol`'s natural order), NOT deduped across
+    * buckets — a member may be a bare id or a struct carrying verify payload
+    * (id first, so the struct order is the id order). Callers that verify
+    * (d07's inline hamming) filter THIS stream and dedup only the survivors,
+    * keeping the random-collision regime free of pair-sized state; callers
+    * that want the candidate set use [[guardedSelfJoinPairs]].
+    */
+  def guardedMemberPairs(b: DataFrame, memberCol: String, keyCols: Seq[String],
+      cap: Int = cap, stateCap: Int = stateCap): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2, got $cap")
-    val ids = col("__ids")
+    require(stateCap >= cap,
+      s"bucket state cap ($stateCap) must be >= the star cap ($cap): below " +
+        "the star threshold the retained list must be complete")
+    graft.functions.BoundedCollectMin.register(b.sparkSession)
+    val n = col("__g.n")
+    val mn = col("__g.mn")
+    val sorted = array_sort(col("__g.items"))
     b.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("__ids"))
+      .agg(expr(s"bounded_collect_min(`$memberCol`, $stateCap)").as("__g"))
       // keys served their purpose (the grouping); prune them before the
       // explode so bucket rows ride as a bare list. Singleton buckets (the
       // overwhelming majority on a benign corpus) emit no pairs — drop them
-      // before any generator runs.
-      .select(ids)
-      .filter(size(ids) > 1)
-      // a-side: every member below the cap (clique regime), ONLY the min id
-      // above it (star regime) — one branch, both semantics
-      .select(explode(when(size(ids) <= cap, ids)
-        .otherwise(array(array_min(ids)))).as("id_a"), ids)
-      .select(col("id_a"), explode(ids).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+      // before any generator runs. Each kept bucket becomes ONE sorted list
+      // with the pair-generating a-side FIRST: the full list below the cap
+      // (clique regime), the exact min prepended to the retained non-min
+      // members above it (star regime — `mn` need not be in the retained
+      // subset, so it is prepended, not assumed present).
+      .filter(n > 1)
+      .select(when(n <= cap, sorted)
+        .otherwise(concat(array(mn), filter(sorted, _ =!= mn))).as("__m"),
+        (n <= cap).as("__clique"))
+      // a-side: every member below the cap, ONLY the head (= the min) above
+      // it — one branch, both semantics. b-side: the members strictly after
+      // the a-member in sort order (1-based slice from p+2), so m_a < m_b
+      // holds by construction and no generated row is filtered away.
+      .select(posexplode(when(col("__clique"), col("__m"))
+        .otherwise(slice(col("__m"), 1, 1))).as(Seq("__p", "m_a")), col("__m"))
+      .select(col("m_a"),
+        explode(slice(col("__m"), col("__p") + lit(2), size(col("__m")))).as("m_b"))
   }
 
   /** The unguarded clique form, kept as the equivalence baseline

@@ -68,6 +68,32 @@ object Sizing {
     */
   val ShingleExpansion: Int = 8
 
+  /** Per-query expansion overrides on top of [[ShingleExpansion]] — the
+    * family members whose measured partition floor exceeds the family rule.
+    *
+    * d09 (r16, SCALECHECK §7): on the aggregate candidate plan the 8× rule's
+    * sf1000 outcome (5.4 GB docs → 1400 partitions) OOMs in a shuffle write
+    * at 0.5 GB/task — d09 is the one family member that localCheckpoints the
+    * full-corpus pair frame and loops joins against it, so its storage-pinned
+    * blocks compete with the aggregation's execution appetite; 2048
+    * partitions complete (531.9 s green). d05 (same candidates, same verify,
+    * no loop) and d10 (checkpointed loop over survivor-restricted pairs)
+    * keep the 8× recipe green, so the floor is d09's alone. 16× derives
+    * ≥ 2048 from the demonstrated footprint with the same shortfall-is-an-OOM
+    * margin the family rule carries (5.4 GB → 2576 ≥ 1.25× the proven-good
+    * 2048), replacing the manual knob SCALECHECK r16 documented as prose —
+    * the preflight turns it, not the operator. AQE coalesces the excess
+    * everywhere smaller.
+    */
+  val ShingleExpansionOverride: Map[String, Int] = Map(
+    "d09_dedup_clusters" -> 16)
+
+  /** The effective shingle-exchange expansion for `query`: the override when
+    * one is measured, the family rule otherwise.
+    */
+  def shingleExpansionFor(query: String): Int =
+    ShingleExpansionOverride.getOrElse(query, ShingleExpansion)
+
   /** Measured minimum JVM heap per CONCURRENT TASK for the heavy
     * sorted-output family (the oracle contract's pinned total ORDER BY over
     * ~600M-row results: b06's semi-join sort, b18's array reconstruction,
@@ -410,11 +436,21 @@ object Sizing {
     * memoized), so the pair-verify entry points just call it inline.
     */
   def autoSizeShingleExchange(s: SparkSession, docPath: String): Int =
+    autoSizeShingleExchange(s, docPath, ShingleExpansion)
+
+  /** [[autoSizeShingleExchange]] at a query-specific expansion
+    * ([[shingleExpansionFor]]) — the entry points with a measured
+    * per-query floor (d09) call this with their own name's ratio; raise-only,
+    * so the larger of the family and per-query targets wins regardless of
+    * call order.
+    */
+  def autoSizeShingleExchange(s: SparkSession, docPath: String,
+      expansion: Int): Int =
     if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) currentPartitions(s)
     else {
       val bytes = footprintBytesCached(s, docPath)
       if (bytes < 0) currentPartitions(s)
-      else applyTarget(s, computedPartitions(bytes * ShingleExpansion))
+      else applyTarget(s, computedPartitions(bytes * expansion))
     }
 
   private def currentPartitions(s: SparkSession): Int =

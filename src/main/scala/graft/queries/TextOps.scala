@@ -394,6 +394,49 @@ object TextOps {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Measurement accessor for the SimHash (band index, band value) membership
+    * frame — the frame d07's [[LshGuard]] pass sizes its buckets on
+    * (ScaleCheck's megacluster simhash leg, oversized-bucket accounting).
+    */
+  private[graft] def simhashBandFrameForProbe(s: SparkSession, d: String): DataFrame =
+    simhashCached(s, d)
+      .select(col("doc_id"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.bi").as("bi"), col("x.bv").as("bv"))
+
+  /** SimHash band columns `sCols` packed into one BIGINT via shift/or — the
+    * carry format for the guard's (id, sig) bucket members. Each band is 16
+    * unsigned bits, so the pack is lossless; the top band may set bit 63
+    * (negative long), which xor + bit_count — the only consumers — ignore.
+    * The COLUMN representation stays four 16-bit bands everywhere else
+    * (d06's oracle-compared output, the DuckDB mirror): packing there would
+    * put bit 63 in the sign and poison cross-engine comparisons.
+    */
+  private def packBands(sCols: Seq[Column]): Column =
+    sCols.reduce((acc, c) => shiftleft(acc, 16).bitwiseOR(c))
+
+  /** The d07 verify over any (doc_id, s0..s3) signature frame: hot-bucket-
+    * guarded in-bucket pair emission with the packed signature riding as
+    * payload, inline full-signature hamming on the streamed pairs, distinct
+    * only on the ≤3 survivors (the d07 entry's scaladoc has the full regime
+    * analysis). Unordered — query entries order, ScaleCheck counts.
+    */
+  private[graft] def simhashNearDupPairs(sh: DataFrame): DataFrame = {
+    val banded = sh
+      .select(struct(col("doc_id").as("id"),
+          packBands((0 to 3).map(b => col(s"s$b"))).as("sig")).as("m"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"))
+      .select(col("m"), col("x.bi").as("bi"), col("x.bv").as("bv"))
+    LshGuard.guardedMemberPairs(banded, "m", Seq("bi", "bv"))
+      .select(col("m_a.id").as("id_a"), col("m_b.id").as("id_b"),
+        bit_count(col("m_a.sig").bitwiseXOR(col("m_b.sig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   /** Shingle-intersection counts for the LSH candidate pairs: (id_a, id_b, i, ca,
     * cb) with i = |shingles(a) ∩ shingles(b)| and ca/cb the distinct-shingle
     * counts — the shared verification frame behind d05 (rounds the ratio for
@@ -681,9 +724,9 @@ object TextOps {
   private val simhash128Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** 128-bit signatures, cached per (session, dir) like the 64-bit frame: the
-    * verify path references the frame three times (banded a/b + the sig
-    * join-back), which would otherwise re-run the md5-per-token scan each time.
+  /** 128-bit signatures, cached per (session, dir) like the 64-bit frame —
+    * the candidate probe and the verify both band it, and ScaleCheck runs
+    * them back to back; uncached each would re-run the md5-per-token scan.
     */
   private def simhash128Sigs(s: SparkSession, d: String): DataFrame =
     simhash128Cache.getOrElseUpdate((s, d), {
@@ -694,37 +737,47 @@ object TextOps {
         .cache()
     })
 
-  def simhash128CandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash128Sigs(s, d)
-    // 32-bit band b = its two 16-bit halves packed (always < 2^32: no sign hazard)
-    def banded(p: String) = sh
-      .select(col("doc_id").as(s"id_$p"),
+  /** The 4×32-bit band frame shared by the 128-bit candidate probe and the
+    * verify: one row per (member, band), band value = the band's two 16-bit
+    * halves packed (always < 2^32: no sign hazard), member = whatever the
+    * caller selected alongside.
+    */
+  private def simhash128Banded(sh: DataFrame, member: Column): DataFrame =
+    sh.select(member.as("m"),
         explode(array((0 to 3).map(b =>
           struct(lit(b).as("bi"),
             (col(s"s${2 * b}") * 65536L + col(s"s${2 * b + 1}")).as("bv"))): _*)).as("x"))
-      .select(col(s"id_$p"), col("x.bi").as("bi"), col("x.bv").as("bv"))
-    banded("a").join(banded("b"), Seq("bi", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+      .select(col("m"), col("x.bi").as("bi"), col("x.bv").as("bv"))
 
-  /** The full d07 pipeline at the 128-bit scale setting — candidates from
-    * [[simhash128CandidatePairs]] joined back to the signatures and verified at
+  def simhash128CandidatePairs(s: SparkSession, d: String): DataFrame =
+    // Hot-bucket-guarded like every candidate generator since r17 — a
+    // megacluster's identical 128-bit signatures collide on all four bands,
+    // so the unguarded bucket join is the same |bucket|²/2 shape d07's was.
+    LshGuard.guardedSelfJoinPairs(
+      simhash128Banded(simhash128Sigs(s, d), col("doc_id")),
+      "m", Seq("bi", "bv"))
+
+  /** The full d07 pipeline at the 128-bit scale setting — guarded in-bucket
+    * pair emission with BOTH packed signature halves riding as payload, inline
     * hamming ≤ 3 over all 128 bits (the 4×32 banding's pigeonhole guarantee:
     * every such pair provably shares a band, so candidate generation loses
-    * nothing the verify would keep). Same id-pairs-first join shape as d07;
-    * ScaleCheck measures it end to end across scale factors.
+    * nothing the verify would keep). Same guarded single-exchange shape as
+    * d07 since r17 (the candidates→two-signature-joins form this replaces
+    * paid two extra pair-keyed exchanges); ScaleCheck measures it end to end
+    * across scale factors.
     */
   def simhash128NearDup(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash128Sigs(s, d)
-    def sigs(p: String) = sh.select(col("doc_id").as(s"id_$p") +:
-      (0 to 7).map(b => col(s"s$b").as(s"$p$b")): _*)
-    simhash128CandidatePairs(s, d)
-      .join(sigs("a"), "id_a").join(sigs("b"), "id_b")
-      .withColumn("hamming",
-        (0 to 7).map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("long"))
+    val banded = simhash128Banded(simhash128Sigs(s, d),
+      struct(col("doc_id").as("id"),
+        packBands((0 to 3).map(b => col(s"s$b"))).as("hi"),
+        packBands((4 to 7).map(b => col(s"s$b"))).as("lo")))
+    LshGuard.guardedMemberPairs(banded, "m", Seq("bi", "bv"))
+      .select(col("m_a.id").as("id_a"), col("m_b.id").as("id_b"),
+        (bit_count(col("m_a.hi").bitwiseXOR(col("m_b.hi"))) +
+          bit_count(col("m_a.lo").bitwiseXOR(col("m_b.lo")))).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= 3)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -824,6 +877,13 @@ object TextOps {
     // one-per-cluster pass retains). The threshold compares the UNROUNDED ratio of
     // integer counts — bit-identical across engines, no .xx5 boundary coin flips.
     "d09_dedup_clusters" -> ((s, d) => {
+      // d09's measured fifth-decade partition floor exceeds the family rule
+      // (its checkpointed loop pins storage blocks against the aggregation's
+      // execution appetite — Sizing.ShingleExpansionOverride has the
+      // evidence); raise-only, so it composes with the family sizing the
+      // cache builders apply
+      Sizing.autoSizeShingleExchange(s, s"$d/documents.parquet",
+        Sizing.shingleExpansionFor("d09_dedup_clusters"))
       val edges = jaccardCounts(s, d)
         .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
         .select("id_a", "id_b")
@@ -836,40 +896,28 @@ object TextOps {
     "d06_simhash" -> ((s, d) =>
       simhashCached(s, d).orderBy("doc_id")),
 
-    // SimHash near-dup pairs: band the 64 bits into 4×16-bit bands, bucket-join on
-    // any shared (band_index, band_value), then verify hamming distance <= 3 over the
-    // full signature (sum of per-band bit_count of xor). Candidate generation is a
-    // keyed equi-join — never all-pairs — and 2^16 buckets per band keep the
-    // candidate count ~linear in corpus size (the old nibble scheme had 16 buckets
-    // per band -> N²/64 pairs) UNTIL ~2M docs, where the N²/2^16-per-band random
-    // term dominates (SCALECHECK's documented quadratic regime; the 128-bit
-    // signature is the scale knob). The plan must survive that regime anyway:
-    // both full signatures ride the banded frames (4 copies × 32 B per doc —
-    // ~1 GB per side at 5M docs, trivial next to a pair-keyed exchange), hamming
-    // computes INLINE on the streaming join output, and only the filtered ≤3 set
-    // is deduped. The previous shape — distinct() on the raw candidate pairs,
-    // then two signature joins — hash-aggregated the ~1.5e9-row join output and
-    // OOM'd an 8 GB heap at sf100 (caught by round 10's full-suite sweep at the
-    // fourth decade); inlining turns that into a codegen'd filter with no
-    // memory footprint, and drops two pair-sized exchanges at every scale.
-    "d07_simhash_neardup" -> ((s, d) => {
-      val sh = simhashCached(s, d)
-      def banded(p: String) = sh
-        .select(col("doc_id").as(s"id_$p") +:
-          (0 to 3).map(b => col(s"s$b").as(s"$p$b")) :+
-          explode(array((0 to 3).map(b =>
-            struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"): _*)
-        .select(col(s"id_$p") +: (0 to 3).map(b => col(s"$p$b")) :+
-          col("x.bi").as("bi") :+ col("x.bv").as("bv"): _*)
-      banded("a").join(banded("b"), Seq("bi", "bv"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("hamming",
-          (0 to 3).map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
-        .orderBy("id_a", "id_b")
-    }),
+    // SimHash near-dup pairs: band the 64 bits into 4×16-bit bands, bucket the
+    // docs on any shared (band_index, band_value), then verify hamming distance
+    // <= 3 over the full signature. Candidate generation is the hot-bucket-
+    // guarded aggregate pass ([[LshGuard.guardedMemberPairs]], r17 — the same
+    // single-exchange plan the MinHash/sign-LSH families got in r16): each
+    // bucket member is a struct(id, sig) with the 64-bit signature PACKED into
+    // one long (shiftleft/or — xor and bit_count don't care about the sign
+    // bit), so the verify payload rides the one aggregation exchange and
+    // hamming computes INLINE on the streaming pair emission; only the
+    // filtered ≤3 set is deduped. That covers BOTH quadratic regimes: the
+    // random-collision regime (the N²/2^16-per-band term past ~2M docs —
+    // false candidates stream through the filter and die, no pair-sized
+    // state; d07's r10 fix, preserved) and the TRUE-duplicate regime a
+    // boilerplate megacluster creates, where identical signatures put the
+    // whole cluster in one bucket and every streamed pair PASSES the verify —
+    // there the r16-shape banded self-join materialized the |bucket|²/2 pair
+    // set in the final distinct (the exact class the r16 megacluster A/B
+    // measured at 5.0e7 pairs / 98.5 s for MinHash), while the guard stars
+    // the bucket on its min id. The default cap clears every measured benign
+    // corpus, so this oracle row is bit-identical with the guard in place.
+    "d07_simhash_neardup" -> ((s, d) =>
+      simhashNearDupPairs(simhashCached(s, d)).orderBy("id_a", "id_b")),
 
     // Corpus-level top-k n-gram counts (boilerplate / contamination analysis): one
     // bigram explode + one groupBy(count). Map-side combine keeps the shuffle at

@@ -35,6 +35,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(4) >= 0L && row.getLong(4) < 65536L)
       assert(row.getInt(5) === 2)  // 'a b c d' -> 2 distinct 3-gram shingles
       assert(row.getLong(6) === 2L) // 'a b c' -> 2 bigrams
+      // the bounded-state aggregate resolves through the extension route too
+      val agg = s.sql(
+        "SELECT bounded_collect_min(v, 2) AS g FROM VALUES (3), (1), (2) t(v)")
+        .selectExpr("g.n", "g.mn", "size(g.items)").head()
+      assert(agg.getLong(0) === 3L)
+      assert(agg.getInt(1) === 1)
+      assert(agg.getInt(2) === 2)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -193,6 +193,27 @@ class SizingSpec extends AnyFunSuite {
       "small-sf corpora must stay below the session default (raise-only no-op)")
   }
 
+  test("d09's per-query expansion derives its measured fifth-decade partition floor") {
+    // r16 (SCALECHECK §7): on the aggregate candidate plan, d09 at sf1000
+    // (5.4 GB documents) OOMs a shuffle write at the family rule's ~1400
+    // partitions and completes at 2048 — a floor the r16 round documented
+    // as a manual knob. The override must DERIVE >= 2048 from the
+    // demonstrated footprint (with real margin, not landing on the cliff),
+    // must exceed the family rule (or it is no override), and must leave
+    // every other family member on the family rule.
+    val d09 = Sizing.shingleExpansionFor("d09_dedup_clusters")
+    val floor = Sizing.computedPartitions((54L << 30) / 10 * d09)
+    assert(floor >= 2048, s"must clear the proven-good 2048, got $floor")
+    assert(floor >= (1.2 * 2048).toInt,
+      "sizing must clear the known-good point with real margin, not land on it")
+    assert(d09 > Sizing.ShingleExpansion)
+    for (q <- Seq("d05_jaccard", "d10_clean_corpus", "d10_clean_staged", "d11_decontam"))
+      assert(Sizing.shingleExpansionFor(q) === Sizing.ShingleExpansion,
+        s"$q ran green on the family rule at sf1000 — no override is measured for it")
+    // and the small-sf no-op contract holds at the override too
+    assert(Sizing.computedPartitions((6L << 20) * d09) < 32)
+  }
+
   test("autoSizeShingleExchange: raises from the documents table footprint × expansion") {
     withConfRestored("spark.sql.shuffle.partitions", InitKey) {
       Sizing.clearCache()
@@ -387,8 +408,12 @@ class SizingSpec extends AnyFunSuite {
     // leaves only 1.2 GB slack there, so the demonstrated-fit bound is the
     // 72 GB box the r16 measurement ran on
     assert(Sizing.ScratchExpansion("d09_dedup_clusters") <= 72.0 / 5.4)
+    // d10 fused demonstrably fit the r15 65 GB box (the stricter of its two
+    // demonstrated boxes); the staged form's ONLY demonstrated box is the
+    // r16 72.4 GB one, so its bound is 72/5.4 like d09's (r16 advice: the
+    // old 65.0 constant was stricter than the staged run's actual evidence)
     assert(Sizing.ScratchExpansion("d10_clean_corpus") <= 65.0 / 5.4)
-    assert(Sizing.ScratchExpansion("d10_clean_staged") <= 65.0 / 5.4)
+    assert(Sizing.ScratchExpansion("d10_clean_staged") <= 72.0 / 5.4)
   }
 
   test("relational spill family: lineitem-anchored ratios cover the sf100 peaks (r16)") {

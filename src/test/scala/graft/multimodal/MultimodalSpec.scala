@@ -54,10 +54,29 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("realDecode unit: valid BMP parses, truncated/garbage fall back to None") {
-    assert(Multimodal.realDecode(Multimodal.syntheticBmp(42L)) === Some((58, 16)))
+    assert(Multimodal.realDecode(Multimodal.syntheticBmp(42L)) === Some((58, 16, 1)))
     assert(Multimodal.realDecode(Multimodal.syntheticBmp(42L).take(20)) === None)
     assert(Multimodal.realDecode("BMnot really a bitmap header".getBytes("UTF-8")) === None)
     assert(Multimodal.realDecode("plain text".getBytes("UTF-8")) === None)
+  }
+
+  test("real decode: synthesized multi-frame GIF frame count equals the synthesized one") {
+    // r17: n_frames is real for GIF (getNumImages on the open reader); ids
+    // sweep the frame-count formula's range including its wrap-around
+    val ids = Seq(0L, 1L, 5L, 6L, 7L, 40L)
+    val media = spark.sparkContext
+      .parallelize(ids.map(id => (id, "image/gif", Multimodal.syntheticGif(id))))
+      .toDF("media_id", "mime", "payload")
+    val rows = Multimodal.decode(media).orderBy("media_id").collect()
+    for ((r, id) <- rows.zip(ids.sorted)) {
+      assert(r.getAs[Int]("n_frames") ===
+        2 + java.lang.Math.floorMod(id, 7L).toInt, s"n_frames of id=$id")
+      assert(r.getAs[Int]("width") === 8 + java.lang.Math.floorMod(id, 13L).toInt)
+      assert(r.getAs[Int]("height") === 8 + java.lang.Math.floorMod(id, 11L).toInt)
+    }
+    // unit level too, incl. a still GIF's count staying 1-based and real
+    val one = Multimodal.realDecode(Multimodal.syntheticGif(12L))
+    assert(one === Some((8 + 12, 8 + 1, 2 + 5)))
   }
 
   test("decode branch gating: image/* garbage falls back to fake; text/plain " +

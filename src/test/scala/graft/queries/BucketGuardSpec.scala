@@ -86,4 +86,108 @@ class BucketGuardSpec extends AnyFunSuite {
       LshGuard.guardedSelfJoinPairs(mixed, "id", Seq("k"), cap = 1)
     }
   }
+
+  test("state cap must cover the star cap") {
+    intercept[IllegalArgumentException] {
+      LshGuard.guardedSelfJoinPairs(mixed, "id", Seq("k"), cap = 8, stateCap = 4)
+    }
+  }
+
+  // ---- r17: the payload-carrying variant (the SimHash families' route) ----
+
+  /** (id, payload, bucket-key) membership rows as (member struct, key). */
+  private def memberRows(rows: (Long, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    s.sparkContext.parallelize(rows).toDF("id", "sig", "k")
+      .select(struct(col("id"), col("sig")).as("m"), col("k"))
+  }
+
+  private def memberPairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("m_a.id", "m_a.sig", "m_b.id", "m_b.sig").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("member pairs carry the payload through both regimes, ordered by id") {
+    val rows = memberRows(
+      (1L, 10L, "big"), (3L, 30L, "big"), (7L, 70L, "big"), (9L, 90L, "big"),
+      (7L, 70L, "sm"), (8L, 80L, "sm"))
+    val out = memberPairsOf(LshGuard.guardedMemberPairs(rows, "m", Seq("k"), cap = 3))
+    // big (4 > cap 3): star on min id 1, each edge carrying BOTH payloads;
+    // sm (2 <= cap): the clique pair
+    assert(out === Set(
+      (1L, 10L, 3L, 30L), (1L, 10L, 7L, 70L), (1L, 10L, 9L, 90L),
+      (7L, 70L, 8L, 80L)))
+  }
+
+  test("beyond the state cap the star degrades to the retained subset, min stays exact") {
+    // 64 members, state cap 8: the guard cannot know all members, but the
+    // a-side must still be the TRUE bucket min (tracked exactly at any size)
+    val s = spark
+    import s.implicits._
+    val big = s.sparkContext.parallelize((1L to 64L).map(_ -> "b"), 8).toDF("id", "k")
+    val out = LshGuard.guardedSelfJoinPairs(big, "id", Seq("k"), cap = 4, stateCap = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty && out.length <= 8, s"state-capped star must emit <= stateCap edges, got ${out.length}")
+    assert(out.forall(_._1 === 1L), "every degraded-star edge keeps the exact bucket min as its source")
+    assert(out.forall(p => p._2 > 1L && p._2 <= 64L))
+    assert(out.distinct.length === out.length)
+  }
+
+  test("simhash d07 guarded == the unguarded banded self-join on a real corpus") {
+    // the r16->r17 rewrite: same verified pair set as the clique-shaped banded
+    // join it replaced, on a corpus whose buckets sit far below the default cap
+    val s = spark
+    val verified = TextOps.queries("d07_simhash_neardup")(s, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.functions.SimHash64.register(s)
+    val sh = s.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), expr("simhash64(lower(text))").as("x"))
+      .select(col("doc_id") +: (0 to 3).map(b => col(s"x.s$b").as(s"s$b")): _*)
+    def banded(p: String) = sh
+      .select(col("doc_id").as(s"id_$p") +:
+        (0 to 3).map(b => col(s"s$b").as(s"$p$b")) :+
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"): _*)
+      .select(col(s"id_$p") +: (0 to 3).map(b => col(s"$p$b")) :+
+        col("x.bi").as("bi") :+ col("x.bv").as("bv"): _*)
+    val clique = banded("a").join(banded("b"), Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        (0 to 3).map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(verified === clique)
+    assert(verified.nonEmpty, "non-vacuous: the corpus has simhash near-dups")
+  }
+
+  test("simhash star regime: a megacluster of identical signatures stars, never cliques") {
+    // 100 identical docs => identical signatures => one bucket per band, every
+    // pair passing hamming 0 — the true-duplicate regime where inline
+    // filtering alone is no defense. Guarded: |cluster|-1 star edges.
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).map(i => (i, "same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    graft.functions.SimHash64.register(s)
+    val sh = docs.select(col("doc_id"), expr("simhash64(lower(text))").as("x"))
+      .select(col("doc_id") +: (0 to 3).map(b => col(s"x.s$b").as(s"s$b")): _*)
+    val saved = sys.env.get("SPARK_GRAFT_BUCKET_CAP")
+    assert(saved.isEmpty, "spec assumes the default cap")
+    val pairs = TextOps.simhashNearDupPairs(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // default cap 4096 > 100: clique regime — all 4950 pairs at hamming 0
+    assert(pairs.length === 4950)
+    // now force the star with a tiny cap via the parameterized core
+    val banded = sh.select(
+        struct(col("doc_id").as("id"), lit(0L).as("sig")).as("m"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("bi"), col(s"s$b").as("bv"))): _*)).as("x"))
+      .select(col("m"), col("x.bi").as("bi"), col("x.bv").as("bv"))
+    val starred = LshGuard.guardedMemberPairs(banded, "m", Seq("bi", "bv"), cap = 50)
+      .select(col("m_a.id").as("id_a"), col("m_b.id").as("id_b")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(starred.length === 99)
+    assert(starred.forall(_._1 === 1L))
+  }
 }
