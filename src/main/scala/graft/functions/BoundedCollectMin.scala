@@ -102,21 +102,55 @@ case class BoundedCollectMin(
   override def eval(b: BoundedCollectState): Any =
     new GenericInternalRow(Array[Any](b.n, b.mn, new GenericArrayData(b.items.toArray)))
 
-  private lazy val projection = UnsafeProjection.create(
+  private lazy val completeProjection = UnsafeProjection.create(
+    Array[DataType](ArrayType(elemType, containsNull = false)))
+  private lazy val truncatedProjection = UnsafeProjection.create(
     Array[DataType](LongType, elemType, ArrayType(elemType, containsNull = false)))
 
-  override def serialize(b: BoundedCollectState): Array[Byte] =
-    projection.apply(new GenericInternalRow(
-      Array[Any](b.n, b.mn, new GenericArrayData(b.items.toArray)))).getBytes
+  /** Wire format, tagged by the first byte. The aggregation's groups are
+    * overwhelmingly singletons (LSH bucket keys), and the partial-state
+    * external sort of ~190 M of them is the memory-tightest stage of the
+    * fifth-decade d09 chain — so the COMPLETE state (`n == items.length`,
+    * virtually every group) serializes as tag 0 + exactly collect_list's
+    * 1-field row (both `n` and `mn` are derivable from a complete list, and
+    * an UnsafeRow field slot is 8 fixed bytes whether used or not). Only the
+    * TRUNCATED state — the degenerate-bucket regime — pays for the 3-field
+    * (n, mn, items) row under tag 1, where the exact count and min are the
+    * state's whole point.
+    */
+  override def serialize(b: BoundedCollectState): Array[Byte] = {
+    val row =
+      if (b.n == b.items.length)
+        completeProjection.apply(new GenericInternalRow(
+          Array[Any](new GenericArrayData(b.items.toArray))))
+      else
+        truncatedProjection.apply(new GenericInternalRow(
+          Array[Any](b.n, b.mn, new GenericArrayData(b.items.toArray))))
+    val payload = row.getBytes
+    val out = new Array[Byte](payload.length + 1)
+    out(0) = if (b.n == b.items.length) 0 else 1
+    System.arraycopy(payload, 0, out, 1, payload.length)
+    out
+  }
 
   override def deserialize(bytes: Array[Byte]): BoundedCollectState = {
-    val row = new UnsafeRow(3)
-    row.pointTo(bytes, bytes.length)
     val buf = ArrayBuffer.empty[Any]
-    row.getArray(2).foreach(elemType, (_, v) => buf += InternalRow.copyValue(v))
-    new BoundedCollectState(row.getLong(0),
-      if (row.isNullAt(1)) null else InternalRow.copyValue(row.get(1, elemType)),
-      buf)
+    // strip the tag into an aligned payload copy (UnsafeRow reads 8-byte words)
+    val payload = java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
+    if (bytes(0) == 0) {
+      val row = new UnsafeRow(1)
+      row.pointTo(payload, payload.length)
+      row.getArray(0).foreach(elemType, (_, v) => buf += InternalRow.copyValue(v))
+      val mn = if (buf.isEmpty) null else buf.min(ordering)
+      new BoundedCollectState(buf.length.toLong, mn, buf)
+    } else {
+      val row = new UnsafeRow(3)
+      row.pointTo(payload, payload.length)
+      row.getArray(2).foreach(elemType, (_, v) => buf += InternalRow.copyValue(v))
+      new BoundedCollectState(row.getLong(0),
+        if (row.isNullAt(1)) null else InternalRow.copyValue(row.get(1, elemType)),
+        buf)
+    }
   }
 
   override def withNewMutableAggBufferOffset(offset: Int): BoundedCollectMin =

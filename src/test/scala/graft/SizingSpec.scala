@@ -386,11 +386,13 @@ class SizingSpec extends AnyFunSuite {
     // and within ~1.35x of it (beyond that the preflight refuses shapes
     // that measurably fit).
     // d05 keeps its r15 worst-case 9.05x (the r16 aggregate plan re-measured
-    // LOWER, 8.87x); d09 takes its r16 re-measure 9.22x at 8g/16/2048 —
-    // which sat a hair OVER the old 9.2 table entry, the exact fatal
-    // direction this test exists to catch.
+    // LOWER, 8.87x); d09 takes its r17 re-measure 9.37x at 8g/16 on the
+    // auto-derived 2713 partitions (r16's 9.22x at manual 2048 sat a hair
+    // OVER the old 9.2 table entry, the exact fatal direction this test
+    // exists to catch; more partitions = more simultaneously-live shuffle
+    // files, so the auto recipe's peak is the binding one).
     val measured = Map(
-      "d05_jaccard" -> 9.05, "d09_dedup_clusters" -> 9.22,
+      "d05_jaccard" -> 9.05, "d09_dedup_clusters" -> 9.37,
       "d10_clean_corpus" -> 10.22, "d10_clean_staged" -> 8.46,
       "d11_decontam" -> 5.91)
     for ((q, m) <- measured) {
