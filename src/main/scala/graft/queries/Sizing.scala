@@ -277,12 +277,16 @@ object Sizing {
     // across two same-JVM reps (1.17x — rep-1 alone peaked 7.6 GB, shuffle
     // files outlive the rep until GC, so the table covers the repeated-run
     // shape); b20 13.8 GB (1.39x, its 14.1 GB shuffle write held live).
-    // Table = measured + ~15-25% (the shortfall-is-fatal margin); single
-    // decade only — sf1000 ships no lineitem — so these assume the same
-    // footprint-proportionality every documents-family ratio demonstrated
-    // across its decades.
+    // Table = measured + ~15-25% (the shortfall-is-fatal margin). r17 added
+    // a second validated point (sf150, 16 GB lineitem — the largest this
+    // box's scratch can hold next to b20's peak): b10 0.48→0.49 and b20
+    // 1.39→1.29 scale flat-to-down, but b18's two-rep accumulation ROSE
+    // 1.17→1.42 — OVER the old 1.4 entry (GC timing holds a scale-dependent
+    // number of dead reps' shuffle files live, so the repeated-run ratio is
+    // NOT footprint-proportional). Entry raised to 1.6 (+13% over the worst
+    // measured point); SCALECHECK r17 has both decades' peaks.
     "b10_slice" -> 0.6,
-    "b18_arrays" -> 1.4,
+    "b18_arrays" -> 1.6,
     "b20_math" -> 1.6)
 
   /** Which table's on-disk footprint anchors each family's expansion ratio.
