@@ -40,12 +40,21 @@ object BucketStats {
       }
       val tb = graft.queries.TextOps.bandFrameForProbe(spark, dir)
       report("text", tb.groupBy("band", "sig").agg(count(lit(1)).as("n")))
-      val n = graft.queries.VectorOps.embCountCached(spark, dir)
-      val bits = graft.queries.VectorOps.bandBitsFor(n)
-      val eb = graft.queries.VectorOps.banded(
-        graft.queries.Tables.embeddings(spark, dir), bits)
-      println(s"BUCKETS embed n=$n bits=$bits")
-      report("embed", eb.groupBy("bi", "bucket").agg(count(lit(1)).as("n")))
+      // the simhash (bi, bv) frame — guarded since r17, so its benign maxima
+      // belong in the same table (2^16 buckets/band: expect far higher
+      // occupancy than the md5-128 minhash sigs, the quadratic-regime term)
+      val sb = graft.queries.TextOps.simhashBandFrameForProbe(spark, dir)
+      report("simhash", sb.groupBy("bi", "bv").agg(count(lit(1)).as("n")))
+      // docs-only synthesized dirs (sf1000) ship no embeddings table — skip
+      // the embed section rather than fail the text report already printed
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val n = graft.queries.VectorOps.embCountCached(spark, dir)
+        val bits = graft.queries.VectorOps.bandBitsFor(n)
+        val eb = graft.queries.VectorOps.banded(
+          graft.queries.Tables.embeddings(spark, dir), bits)
+        println(s"BUCKETS embed n=$n bits=$bits")
+        report("embed", eb.groupBy("bi", "bucket").agg(count(lit(1)).as("n")))
+      } else println(s"BUCKETS embed SKIPPED (no embeddings.parquet in $dir)")
     } finally spark.stop()
   }
 }
