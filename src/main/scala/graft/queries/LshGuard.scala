@@ -1,7 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Hot-bucket guard for LSH candidate generation (r16; bounded-state and
   * payload-carrying since r17).
@@ -70,11 +74,47 @@ import org.apache.spark.sql.functions._
   * Below `cap` (≤ stateCap always, enforced) the retained list is provably
   * complete, so the clique regime is untouched.
   *
-  * Precondition on the id / member column: non-null. [[graft.functions
-  * .BoundedCollectMin]] skips nulls like collect_list, so a null id would
-  * silently vanish from its bucket's count and pair set (the r16 advice
-  * note on the collect_list form, now part of the stated contract). Every
-  * caller passes a non-null doc_id / vec_id / (id, sig) struct.
+  * Preconditions on the id / member column (both hold for every caller by
+  * construction):
+  *  - NON-NULL: [[graft.functions.BoundedCollectMin]] skips nulls like
+  *    collect_list, so a null id would silently vanish from its bucket's
+  *    count and pair set (the r16 advice note on the collect_list form, now
+  *    part of the stated contract). Every caller passes a non-null doc_id /
+  *    vec_id / (id, sig) struct.
+  *  - DISTINCT PER BUCKET: at most one row per (member, key). The r17
+  *    sorted-slice emission guarantees only `m_a <= m_b` — a duplicated
+  *    member value in one bucket would emit an (x, x) self-pair in the
+  *    clique regime (where r16's explicit `id_a < id_b` join filter dropped
+  *    it unconditionally), and in the star regime `filter(sorted, =!= mn)`
+  *    drops EVERY copy of the min, not just one. Every caller builds one
+  *    row per doc per band, so both behaviors are latent; BucketGuardSpec
+  *    pins them so a future caller cannot rely on a strictness the
+  *    construction no longer enforces.
+  *
+  * CPU (r18): the membership frame takes a codegen'd count-only
+  * pre-aggregation first, and only members of buckets with more than one row
+  * reach [[graft.functions.BoundedCollectMin]] — a TypedImperativeAggregate
+  * whose per-row update path runs interpreted (`child.eval` + copy +
+  * interpreted ordering). At sf100 d04's ~19 M (band, sig) groups are
+  * overwhelmingly singletons, so the r17 form paid that interpreted path on
+  * every membership row for nothing (the round-17 verdict's one attributable
+  * wall regression: d07 11.2 → 19.8 s); the pre-drop routes the singleton
+  * mass through HashAggregateExec's codegen'd count (whose shuffle carries
+  * keys + a long, no member payload) and the semi-joined remainder — tiny on
+  * every benign corpus — through the bounded aggregation. Results are
+  * byte-identical by construction: singleton buckets emit no pairs in any
+  * regime. `SPARK_GRAFT_SINGLETON_PREDROP=0` opts out (A/B measurement knob,
+  * same contract as SPARK_GRAFT_RETIRE_PAIRS).
+  *
+  * Observability (r18): a fired star used to be visible only if the operator
+  * separately ran [[oversizedBuckets]] — a second aggregation ScaleCheck
+  * remembers to run and a production caller won't. The guarded plan now
+  * carries a `Dataset.observe` node (named `graft.lsh.guard.N`) counting
+  * capped buckets and their membership rows; a once-per-session
+  * QueryExecutionListener reads the metric after every action through the
+  * plan, logs a driver-visible line when the guard FIRED, and accumulates
+  * [[guardFiredTotals]] (spec-pinned: nonzero on a planted megacluster, zero
+  * on the benign oracle corpus).
   */
 object LshGuard {
 
@@ -107,6 +147,62 @@ object LshGuard {
   def stateCap: Int =
     Knobs.int("SPARK_GRAFT_BUCKET_STATE_CAP").getOrElse(DefaultStateCap)
 
+  /** Prefix of the in-plan observation names; the numeric suffix keeps names
+    * unique when one plan composes several guarded passes.
+    */
+  private val ObserveNamePrefix = "graft.lsh.guard."
+  private val observeSeq = new AtomicLong
+
+  private val cappedBucketsTotal = new AtomicLong
+  private val starredMembersTotal = new AtomicLong
+
+  /** (capped buckets, membership rows in capped buckets) accumulated across
+    * every completed action through a guarded plan in this JVM — the
+    * driver-visible "did the guard fire" signal (r18). Updated
+    * asynchronously by the listener bus; measurement readers drain the bus
+    * (or poll) before asserting.
+    */
+  def guardFiredTotals: (Long, Long) =
+    (cappedBucketsTotal.get, starredMembersTotal.get)
+
+  private[graft] def resetGuardFiredTotals(): Unit = {
+    cappedBucketsTotal.set(0)
+    starredMembersTotal.set(0)
+  }
+
+  private val observedSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Once per session: read every guarded plan's observation after each
+    * successful action, log a driver line when the guard FIRED, accumulate
+    * the totals. Registration is idempotent per session; the listener is
+    * cheap (a map lookup per action) and permanent by design — the guard's
+    * whole point is that production runs see it fire without opting in.
+    */
+  private def installGuardListener(s: SparkSession): Unit =
+    if (observedSessions.add(s))
+      s.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(ObserveNamePrefix)) {
+              val capped = row.getLong(row.fieldIndex("capped_buckets"))
+              val starred = row.getLong(row.fieldIndex("starred_members"))
+              if (capped > 0) {
+                cappedBucketsTotal.addAndGet(capped)
+                starredMembersTotal.addAndGet(starred)
+                System.err.println(s"[graft] LSH hot-bucket guard FIRED: " +
+                  s"$capped bucket(s) starred covering $starred membership " +
+                  s"rows (observation=$name action=$funcName) - capped " +
+                  "buckets emit a star on their min id, not the exhaustive " +
+                  "pair clique; run LshGuard.oversizedBuckets for the bucket list")
+              }
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
   /** Pairs of ids sharing any key-bucket of `b` (one row per id per bucket
     * membership), `id_a < id_b`, deduped across buckets — the LSH candidate
     * self-join — with buckets over `cap` members emitting a star on the
@@ -133,10 +229,28 @@ object LshGuard {
       s"bucket state cap ($stateCap) must be >= the star cap ($cap): below " +
         "the star threshold the retained list must be complete")
     graft.functions.BoundedCollectMin.register(b.sparkSession)
+    installGuardListener(b.sparkSession)
+    val keys = keyCols.map(col)
+    // Singleton pre-drop (r18): only members of buckets with >1 row reach the
+    // interpreted TypedImperativeAggregate. The count pass is a codegen'd
+    // HashAggregate whose shuffle carries (keys, long) — no member payload —
+    // and map-side combine collapses it to ~distinct-key cardinality; the
+    // kept-key frame is tiny on every benign corpus (AQE broadcasts it), so
+    // the membership frame reaches the bounded aggregation unshuffled and
+    // already pruned. Byte-identical output: singleton buckets emit no pairs
+    // in any regime (the post-agg n > 1 filter stays as the null-member
+    // backstop — a bucket of one non-null member padded by nulls passes the
+    // row count but not the non-null count).
+    val predrop = Knobs.bool("SPARK_GRAFT_SINGLETON_PREDROP").getOrElse(true)
+    val members = if (!predrop) b else
+      b.join(
+        b.groupBy(keys: _*).agg(count(lit(1)).as("__n0"))
+          .filter(col("__n0") > 1).select(keys: _*),
+        keyCols, "leftsemi")
     val n = col("__g.n")
     val mn = col("__g.mn")
     val sorted = array_sort(col("__g.items"))
-    b.groupBy(keyCols.map(col): _*)
+    members.groupBy(keys: _*)
       .agg(expr(s"bounded_collect_min(`$memberCol`, $stateCap)").as("__g"))
       // keys served their purpose (the grouping); prune them before the
       // explode so bucket rows ride as a bare list. Singleton buckets (the
@@ -147,6 +261,12 @@ object LshGuard {
       // members above it (star regime — `mn` need not be in the retained
       // subset, so it is prepended, not assumed present).
       .filter(n > 1)
+      // in-plan fired-guard accounting (r18) — read by the session listener
+      // after every action through this plan; coalesce because an all-benign
+      // corpus aggregates zero capped rows to a null sum
+      .observe(s"$ObserveNamePrefix${observeSeq.incrementAndGet()}",
+        coalesce(sum(when(n > cap, lit(1L))), lit(0L)).as("capped_buckets"),
+        coalesce(sum(when(n > cap, n)), lit(0L)).as("starred_members"))
       .select(when(n <= cap, sorted)
         .otherwise(concat(array(mn), filter(sorted, _ =!= mn))).as("__m"),
         (n <= cap).as("__clique"))

@@ -190,4 +190,54 @@ class BucketGuardSpec extends AnyFunSuite {
     assert(starred.length === 99)
     assert(starred.forall(_._1 === 1L))
   }
+
+  // ---- r18: the distinct-members precondition, pinned not assumed ----
+
+  test("duplicate members violate the stated precondition: the clique regime emits self-pairs") {
+    // the r17 sorted-slice emission guarantees only m_a <= m_b — a duplicated
+    // (member, key) row emits the (x, x) self-pair r16's id_a < id_b join
+    // filter dropped. Every production caller builds one row per doc per
+    // band; this pin documents WHY that precondition is load-bearing so a
+    // future caller cannot rely on strictness the construction no longer
+    // enforces (LshGuard scaladoc, r17 ADVICE).
+    val dup = members(1L -> "k", 2L -> "k", 2L -> "k")
+    val out = pairsOf(LshGuard.guardedSelfJoinPairs(dup, "id", Seq("k"), cap = 10))
+    assert(out === Set(1L -> 2L, 2L -> 2L))
+  }
+
+  // ---- r18: in-plan fired-guard observability ----
+
+  /** The listener bus posts observation metrics asynchronously; poll the
+    * totals with a bounded deadline instead of sleeping blind.
+    */
+  private def awaitTotals(expectFired: Boolean): (Long, Long) = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var t = LshGuard.guardFiredTotals
+    while (expectFired && t._1 == 0 && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      t = LshGuard.guardFiredTotals
+    }
+    t
+  }
+
+  test("guard telemetry: zero on a benign corpus, no opt-in required") {
+    LshGuard.resetGuardFiredTotals()
+    // the real pipeline entries (d04's route) at the default cap: no bucket
+    // fires, so the observation must stay silent
+    TextOps.candidatePairs(spark, sf001).write.format("noop").mode("overwrite").save()
+    graft.StageMetrics.drain(spark)
+    val (capped, starred) = awaitTotals(expectFired = false)
+    assert(capped === 0L && starred === 0L,
+      s"benign corpus must not fire the guard, got ($capped, $starred)")
+  }
+
+  test("guard telemetry: a planted megacluster fires the in-plan observation") {
+    LshGuard.resetGuardFiredTotals()
+    // one 5-member bucket over cap 3 -> 1 capped bucket, 5 membership rows
+    LshGuard.guardedSelfJoinPairs(mixed, "id", Seq("k"), cap = 3)
+      .write.format("noop").mode("overwrite").save()
+    val (capped, starred) = awaitTotals(expectFired = true)
+    assert(capped === 1L, s"expected exactly the big bucket capped, got $capped")
+    assert(starred === 5L, s"expected the big bucket's 5 membership rows, got $starred")
+  }
 }
