@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries` aggregates every declared operator family:
   *  - graft.queries.Relational — SURVEY §2.B generic relational surface (b01..b23)
   *  - graft.queries.Hierarchy  — tree-as-table analogs of §2.A (a08..a15, b14)
-  *  - graft.queries.TextOps    — dedup: exact/MinHash-LSH/SimHash/Jaccard (d01..d07),
+  *  - graft.queries.TextOps    — dedup: exact/MinHash-LSH/SimHash/Jaccard
+ *    (d01..d07, d12 — the 128-bit SimHash scale variant),
   *    near-dup clustering via connected components (d09, graft.queries.Components),
   *    text analysis + KMV sketch + n-gram counts + quality gate + repetition
   *    stats (t01..t10),

@@ -345,6 +345,7 @@ object TextOps {
       m.values.foreach(_.unpersist())
       m.clear()
     }
+    docCountCache.clear()
   }
 
   /** LSH candidate pairs from a prebuilt band frame: docs sharing any (band, sig)
@@ -393,6 +394,15 @@ object TextOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Measurement accessor pinning the 64-BIT d07 route regardless of the
+    * corpus-derived width (r18): ScaleCheck's megacluster simhash A/B keeps
+    * its r16/r17 digit continuity on the 16-bit-band regime — the regime the
+    * guard was measured in — while the registered d07 on the same >32 k-doc
+    * corpus now routes 128-bit by [[simhashBitsFor]].
+    */
+  private[graft] def simhashNearDup64(s: SparkSession, d: String): DataFrame =
+    simhashNearDupPairs(simhashCached(s, d))
 
   /** Measurement accessor for the SimHash (band index, band value) membership
     * frame — the frame d07's [[LshGuard]] pass sizes its buckets on
@@ -749,6 +759,14 @@ object TextOps {
             (col(s"s${2 * b}") * 65536L + col(s"s${2 * b + 1}")).as("bv"))): _*)).as("x"))
       .select(col("m"), col("x.bi").as("bi"), col("x.bv").as("bv"))
 
+  /** Measurement accessor for the 128-bit (band index, band value) membership
+    * frame — ScaleCheck's megacluster simhash128 leg sizes the guard's
+    * buckets on it (oversized-bucket accounting at the 2^32-bucket width).
+    */
+  private[graft] def simhash128BandFrameForProbe(s: SparkSession, d: String): DataFrame =
+    simhash128Banded(simhash128Sigs(s, d), col("doc_id"))
+      .withColumnRenamed("m", "doc_id")
+
   def simhash128CandidatePairs(s: SparkSession, d: String): DataFrame =
     // Hot-bucket-guarded like every candidate generator since r17 — a
     // megacluster's identical 128-bit signatures collide on all four bands,
@@ -779,6 +797,43 @@ object TextOps {
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("id_a", "id_b")
+  }
+
+  /** Cached documents row count per (session, dir) — the one scalar
+    * [[simhashBitsFor]] needs. Same shape as VectorOps.embCountCached: one
+    * parquet-metadata count per session per dir (on a production cluster, a
+    * table-stats lookup); cleared with [[clearCaches]].
+    */
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private[graft] def docCountCached(s: SparkSession, d: String): Long =
+    docCountCache.getOrElseUpdate((s, d), documents(s, d).count())
+
+  /** Corpus-derived SimHash signature width (r18) — the same engine rule
+    * VectorOps.bandBitsFor already applies to the sign-LSH family, closing
+    * the round-17 watch item: at 47 M docs the 64-bit signature's 4×16-bit
+    * bands stop pruning entirely (BucketStats r17: mean (bi, bv) bucket 717
+    * members, max 27,926 — 9.7 M membership rows starred on a BENIGN corpus,
+    * so d07 stayed safe but silently lost exhaustive pair semantics). The
+    * banding keeps 4 bands at either width (the pigeonhole guarantee for
+    * hamming ≤ 3 is band COUNT, not width), so width is purely the
+    * random-collision precision knob, exactly like bandBitsFor: stay at 64
+    * bits (16-bit bands) while 2^16 ≥ 2N — the per-band random-collision
+    * term ≤ ~1 pair/doc — and switch to 128 bits (32-bit bands, occupancy
+    * 0.01 at 47 M docs) beyond. Same exact integer bit-math as bandBitsFor
+    * (ceil(log2(2n)) via numberOfLeadingZeros, no float-log boundary risk).
+    *
+    * Every oracle/gate scale resolves to 64 (N=500 at sf0.01, 2,000 at
+    * sf0.1 — d06/d07 oracle rows unchanged); sf1 (50 k docs) and beyond
+    * resolve to 128, where d07 routes through [[simhash128NearDup]] — the
+    * documented fifth-decade answer (SCALECHECK r17 §7), now self-applying
+    * instead of a knob the operator must know to turn.
+    */
+  def simhashBitsFor(n: Long): Int = {
+    require(n >= 1, s"corpus size must be positive, got $n")
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(2 * n - 1) // ceil(log2(2n))
+    if (needed <= 16) 64 else 128
   }
 
   /** t08's keep predicate (token count, stopword ratio, mean word length bounds) —
@@ -916,8 +971,37 @@ object TextOps {
     // measured at 5.0e7 pairs / 98.5 s for MinHash), while the guard stars
     // the bucket on its min id. The default cap clears every measured benign
     // corpus, so this oracle row is bit-identical with the guard in place.
-    "d07_simhash_neardup" -> ((s, d) =>
-      simhashNearDupPairs(simhashCached(s, d)).orderBy("id_a", "id_b")),
+    // Signature width is corpus-derived (r18, [[simhashBitsFor]]): past 32 k
+    // docs the 16-bit bands' random-collision pruning is spent, so the query
+    // routes through the 128-bit kernel and its 4×32-bit banding (= the d12
+    // plan) — the oracle/gate scales all resolve to 64, keeping this row's
+    // oracle and specs on the pinned 64-bit semantics.
+    // SPARK_GRAFT_SIMHASH_BITS=64/128 overrides the derivation (A/B
+    // measurement knob, same human-outranks-heuristic contract as
+    // SPARK_GRAFT_RETIRE_PAIRS; any other value warns and falls through).
+    "d07_simhash_neardup" -> ((s, d) => {
+      val bits = Knobs.int("SPARK_GRAFT_SIMHASH_BITS")
+        .flatMap {
+          case b @ (64 | 128) => Some(b)
+          case other =>
+            System.err.println(s"[graft] ignoring SPARK_GRAFT_SIMHASH_BITS=" +
+              s"$other (expected 64 or 128); falling through to the " +
+              "corpus-derived width")
+            None
+        }
+        .getOrElse(simhashBitsFor(docCountCached(s, d)))
+      if (bits >= 128) simhash128NearDup(s, d)
+      else simhashNearDupPairs(simhashCached(s, d)).orderBy("id_a", "id_b")
+    }),
+
+    // The 128-bit SimHash near-dup pipeline as its own oracle row (r18 — the
+    // round-17 verdict's coverage gap: the production-recommended fifth-
+    // decade variant was spec-pinned but never oracle-checked). Same guarded
+    // single-exchange shape as d07 with both packed signature halves riding
+    // as payload and inline hamming ≤ 3 over all 128 bits; at the oracle
+    // scale the candidate buckets sit far below the cap, so the row is
+    // bit-identical with the guard in place, like d07's.
+    "d12_simhash128_neardup" -> ((s, d) => simhash128NearDup(s, d)),
 
     // Corpus-level top-k n-gram counts (boilerplate / contamination analysis): one
     // bigram explode + one groupBy(count). Map-side combine keeps the shuffle at
@@ -1201,6 +1285,45 @@ object TextOps {
       "CAST(sum(CASE WHEN b = 3 THEN bit ELSE 0 END) AS BIGINT) AS s3 " +
       "FROM bits GROUP BY doc_id)"
 
+  /** [[SimCte]] widened to the full md5 digest — the DuckDB mirror of
+    * graft.functions.SimHash128 (same tokenization, same hex16 digest-byte
+    * arithmetic, bands 0–7 instead of 0–3). Shares the structure verbatim so
+    * the two mirrors cannot drift independently of the kernel they pin.
+    */
+  private val Sim128Cte =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
+      "hm AS (SELECT doc_id, md5(t) AS h FROM toks), " +
+      "hv AS (SELECT doc_id, b, " +
+      s"${OracleSql.hex16("h", "b*4+1")} AS v " +
+      "FROM hm CROSS JOIN (SELECT unnest(range(0, 8)) AS b)), " +
+      "bits AS (SELECT doc_id, b, j, CASE WHEN sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
+      "THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bit " +
+      "FROM hv CROSS JOIN (SELECT unnest(range(0,16)) AS j) GROUP BY doc_id, b, j), " +
+      "sim AS (SELECT doc_id, " +
+      (0 to 7).map(b =>
+        s"CAST(sum(CASE WHEN b = $b THEN bit ELSE 0 END) AS BIGINT) AS s$b").mkString(", ") +
+      " FROM bits GROUP BY doc_id)"
+
+  /** d12's verify+filter tail over the 4×32-bit banding: band value = the
+    * band's two 16-bit halves packed (mirroring [[simhash128Banded]]'s
+    * `s(2b)*65536 + s(2b+1)` — always < 2^32, no sign hazard), hamming
+    * summed per 16-bit column exactly as the Spark side's two packed-long
+    * bit_counts decompose.
+    */
+  private val Sim128NearDupSql: String = {
+    val ham = (0 to 7).map(b => s"bit_count(xor(a$b, b$b))").mkString(" + ")
+    Sim128Cte +
+      ", banded AS (SELECT doc_id, " + (0 to 7).map(b => s"s$b").mkString(", ") +
+      ", bi, (CASE bi WHEN 0 THEN s0 WHEN 1 THEN s2 WHEN 2 THEN s4 ELSE s6 END) * 65536 + " +
+      "(CASE bi WHEN 0 THEN s1 WHEN 1 THEN s3 WHEN 2 THEN s5 ELSE s7 END) AS bv " +
+      "FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS bi))" +
+      ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      (0 to 7).map(b => s"a.s$b AS a$b, b.s$b AS b$b").mkString(", ") +
+      " FROM banded a JOIN banded b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)" +
+      s" SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming FROM cand" +
+      s" WHERE $ham <= 3 ORDER BY id_a, id_b"
+  }
+
   val oracles: Map[String, String] = Map(
     "d06_simhash" ->
       (SimCte + " SELECT doc_id, s0, s1, s2, s3 FROM sim ORDER BY doc_id"),
@@ -1217,6 +1340,7 @@ object TextOps {
         " bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) AS BIGINT) AS hamming FROM cand" +
         " WHERE bit_count(xor(a0,b0)) + bit_count(xor(a1,b1)) +" +
         " bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3 ORDER BY id_a, id_b"),
+    "d12_simhash128_neardup" -> Sim128NearDupSql,
     "t04_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe " +

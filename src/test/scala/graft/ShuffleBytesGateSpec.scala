@@ -52,7 +52,16 @@ class ShuffleBytesGateSpec extends AnyFunSuite {
     // the measured broken-plan landing zone (~1+ MB) so a regression at
     // 0.9 MB would have passed (r15 ADVICE — same measured-ceiling method
     // as b15)
-    ("d11_decontam", 0, 0.5))
+    ("d11_decontam", 0, 0.5),
+    // r18: d12's single-exchange guarded shape — codegen'd count partials +
+    // the pruned non-singleton membership remainder (the hot-key side
+    // broadcasts). Measured healthy 0.271 MB; the nearest measured broken
+    // plan (losing the singleton pre-drop: the full payload rides the
+    // exchange) lands at 0.587 MB, and a multi-exchange regression (the old
+    // candidates-then-two-signature-joins form) higher still — 0.45 sits
+    // 1.7x over healthy and 30% under the closest broken landing zone, the
+    // same measured-ceiling method as b15/d11.
+    ("d12_simhash128_neardup", 0, 0.45))
 
   private lazy val metrics: StageMetrics = {
     val m = new StageMetrics

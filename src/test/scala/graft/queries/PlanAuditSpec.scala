@@ -32,7 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("dedup/LSH family: keyed joins only, no cartesian product") {
     for (q <- Seq("d03_minhash_bands", "d04_neardup_pairs", "d05_jaccard",
-        "d07_simhash_neardup", "d08_embed_neardup")) {
+        "d07_simhash_neardup", "d08_embed_neardup", "d12_simhash128_neardup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
