@@ -37,6 +37,27 @@ object Components {
     if (sys.env.get("SPARK_GRAFT_COMPONENTS_LOG").contains("1"))
       println(s"COMPONENTS $msg")
 
+  /** Release a localCheckpoint'ed frame's pinned storage blocks (r18, the
+    * d09 spill item: sf1000's pointer-jumping loop held EVERY round's
+    * checkpoint live — ~7× cumulative spill against ~52 GB of shuffle —
+    * because a superseded round's blocks free only when the GC and the
+    * ContextCleaner get around to them, while the loop keeps allocating
+    * against the same unified memory pool). localCheckpoint truncates
+    * lineage, so an unpersisted frame CANNOT be recomputed — callers drop
+    * only frames that are provably dead: superseded by the NEXT round's
+    * eager checkpoint, or never read past this function.
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    // collectLeaves, not a root match: the loop's label frames are thin
+    // projections OVER their round's checkpoint (next.drop("__chg")), so the
+    // LogicalRDD sits one node down. A frame with no LogicalRDD leaf (never
+    // expected here) silently leaks rather than crashes.
+    df.queryExecution.logical.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Below this many SYMMETRIC edge rows (2× undirected edges) the pair
     * retirement prepass costs more than it saves: its degree aggregation,
     * self-join, and anti-join are three fixed shuffle+checkpoint jobs
@@ -80,6 +101,7 @@ object Components {
     val sym = e0.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(e0.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint() // the edge frame is reused every round; pin it once
+    dropCheckpoint(e0) // sym is pinned; the directed copy is dead
     // Attribute the upstream edge materialization (in the dedup pipeline: the
     // whole band-join + Jaccard verify, by far the dominant cost at sf1000)
     // separately from the retirement prepass — the pre-r13 log charged both
@@ -120,6 +142,10 @@ object Components {
       val res = sym
         .join(pl.select(col("id").as("u")), Seq("u"), "left_anti")
         .localCheckpoint()
+      // res supersedes sym as the loop's edge frame, and deg1 fed only the
+      // two eager checkpoints above — both provably dead from here
+      dropCheckpoint(deg1)
+      dropCheckpoint(sym)
       logLine(f"stage=retire_pairs pairs_nodes=${pl.count()} " +
         f"residual_edges=${res.count()} sec=${(System.nanoTime() - tRet) / 1e9}%.2f")
       (pl, res)
@@ -145,11 +171,20 @@ object Components {
           (col("__mlbl") =!= col("__old")).as("__chg"))
         .localCheckpoint() // cut the per-round plan growth; also the changed-count input
       changed = next.filter(col("__chg")).count()
+      // next is eagerly materialized; the superseded round's label blocks are
+      // dead — release them NOW instead of letting them pin unified memory
+      // until the GC notices (the sf1000 7× spill-to-shuffle item, r18)
+      dropCheckpoint(labels)
       labels = next.drop("__chg")
       rounds += 1
       logLine(f"stage=round n=$rounds changed=$changed sec=${(System.nanoTime() - tr) / 1e9}%.2f")
     }
     require(changed == 0, s"components did not converge in $maxRounds rounds")
+    // the loop is done reading the edge frame; only the labels survive. In
+    // the non-retire branch residual IS sym, whose checkpoint also roots
+    // pairLabels' typed-empty plan — keep it there (it is one small frame;
+    // the per-round accumulation above was the leak that mattered).
+    if (doRetire) dropCheckpoint(residual)
     logLine(f"stage=total rounds=$rounds sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     (labels.union(pairLabels), rounds)
   }

@@ -121,4 +121,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(labels.count() === n)
     assert(labels.filter(col("lbl") =!= 0L).count() === 0)
   }
+
+  test("superseded round checkpoints are released, not held for the whole loop (r18)") {
+    // the sf1000 d09 spill item: every round localCheckpoints a label frame,
+    // and before r18 ALL of them stayed pinned in the unified pool until GC
+    // + ContextCleaner noticed — ~7x spill-to-shuffle at the fifth decade.
+    // A multi-round chain graph must finish holding only the SURVIVING
+    // frames (final labels + the result's roots), not one per round.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 63L).map(i => i -> (i + 1))
+    val (labels, rounds) = Components.minLabelComponentsWithRounds(
+      edgesDf(chain: _*), maxRounds = 10)
+    labels.write.format("noop").mode("overwrite").save()
+    assert(rounds >= 3, s"need a multi-round run for this pin, got $rounds")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // surviving: final labels (+ pairLabels' root in the non-retire branch,
+    // where residual IS sym). Anything per-round would add >= `rounds` more.
+    assert(after - before <= 3,
+      s"components leaked ${after - before} pinned RDDs across $rounds rounds" +
+        " - superseded checkpoints must be unpersisted as each round lands")
+  }
 }
