@@ -252,7 +252,7 @@ object Bench {
       if (i % 8 == 0) { curMid = miniCalibration(); mids ::= (name, curMid) }
       var err: Option[String] = None
       val (spill0, shuffle0) = drainedSnapshot()
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).map { rep =>
         val t0 = System.nanoTime()
         if (err.isEmpty) {
           // noop sink, not count(): count(1) lets Catalyst prune every column, so a
@@ -265,7 +265,17 @@ object Bench {
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           }
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // between same-JVM reps (outside the timed window): deterministically
+        // release the dead rep's shuffle files — without this, rep N+1's live
+        // scratch peak rides on GC weather (the sf150 b18 measurement moved a
+        // pinned spill ratio 1.17 → 1.42 across decades purely on cleaner
+        // timing; see CleanerDrain). SPARK_GRAFT_REP_DRAIN=0 opts out for
+        // A/B'ing the accumulation behavior itself.
+        if (rep < runs &&
+            !graft.queries.Knobs.bool("SPARK_GRAFT_REP_DRAIN").contains(false))
+          CleanerDrain.drain(spark.sparkContext)
+        sec
       }.sorted
       val (spill1, shuffle1) = drainedSnapshot()
       val spillMb = (spill1 - spill0) / (1 << 20)

@@ -340,7 +340,10 @@ object ScaleCheck {
     // re-measurement tool. Unknown names fail loudly: a typo would otherwise
     // run ZERO steps and exit 0, an empty measurement indistinguishable from a
     // filtered one (the file's own no-silent-caps principle).
-    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue", "d11probe", "megacluster", "giant")
+    // "synth" is a deliberate no-op: SPARK_GRAFT_STEPS=synth runs ONLY the
+    // synthesis (building a corpus for an external probe like PlanProbe's
+    // sf150 scratch campaign) without paying any measurement step.
+    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue", "d11probe", "megacluster", "giant", "synth")
     val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").map(_.trim).toSet)
     onlySteps.foreach { s =>
       val unknown = s.diff(knownSteps)
@@ -725,8 +728,11 @@ object ScaleCheck {
           val shOver = graft.queries.LshGuard.oversizedBuckets(
             shBands, Seq("bi", "bv")).collect()
           val shOverMax = if (shOver.isEmpty) 0L else shOver.map(_.getLong(2)).max
+          // the explicit 64-bit route (not the registered d07, which derives
+          // 128-bit past 32k docs since r18): keeps the r16/r17 digit
+          // continuity on the regime the guard was measured in
           val (shVer, shVerSec) = timed(
-            graft.SparkEntry.queries("d07_simhash_neardup")(spark, megaDir).count())
+            graft.queries.TextOps.simhashNearDup64(spark, megaDir).count())
           val shCliqueJson = if (label == "small") {
             val (cp, cs) = timed(graft.queries.LshGuard.cliqueSelfJoinPairs(
               shBands, "doc_id", Seq("bi", "bv")).count())
@@ -738,6 +744,23 @@ object ScaleCheck {
             f""""planted":$n,"oversized_buckets":${shOver.length},""" +
             f""""max_bucket":$shOverMax,"verified_pairs":$shVer,""" +
             f""""verified_sec":$shVerSec%.1f,""" + shCliqueJson.dropRight(1) + "}")
+        }
+        // r18: the 128-bit route (what the registered d07 now derives on this
+        // >32k-doc corpus, = d12) on the same planted megacluster — the
+        // planted sigs are dominated by the shared boilerplate, so they
+        // collide into identical 32-bit band buckets too; the guard must
+        // star them the same way while the BACKGROUND corpus contributes
+        // near-zero random collisions (2^32 buckets/band)
+        locally {
+          val sh128 = graft.queries.TextOps.simhash128BandFrameForProbe(spark, megaDir)
+          val over = graft.queries.LshGuard.oversizedBuckets(
+            sh128, Seq("bi", "bv")).collect()
+          val overMax = if (over.isEmpty) 0L else over.map(_.getLong(2)).max
+          val (ver, verSec) = timed(
+            graft.SparkEntry.queries("d12_simhash128_neardup")(spark, megaDir).count())
+          println(f"""SCALECHECK {"step":"megacluster_simhash128","leg":"$label",""" +
+            f""""planted":$n,"oversized_buckets":${over.length},""" +
+            f""""max_bucket":$overMax,"verified_pairs":$ver,"verified_sec":$verSec%.1f}""")
         }
         graft.Caches.clearAll()
       }

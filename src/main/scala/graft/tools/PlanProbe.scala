@@ -86,6 +86,12 @@ object PlanProbe {
       println(s"=== $name @ $dir ===")
       q(spark, dir).explain("formatted")
       for (i <- 1 to reps) {
+        // same between-reps drain as Bench: rep i must not start while rep
+        // i−1's dead shuffle files still occupy scratch at the cleaner's
+        // whim (the sf150 b18 ratio drift; see CleanerDrain). Before the
+        // FIRST rep it also clears the explain()-executed builders' garbage.
+        if (!graft.queries.Knobs.bool("SPARK_GRAFT_REP_DRAIN").contains(false))
+          graft.CleanerDrain.drain(spark.sparkContext)
         epoch.incrementAndGet()
         val scratchStart = graft.queries.Sizing.usableScratchBytes(spark)
         trough.set(scratchStart)
