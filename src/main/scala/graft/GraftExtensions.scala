@@ -99,15 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("bounded_collect_min"),
       new ExpressionInfo(classOf[BoundedCollectMin].getName, "bounded_collect_min"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "bounded_collect_min takes (value, limit)")
-        require(args(1).foldable, "bounded_collect_min limit must be a literal")
-        BoundedCollectMin(args.head, args(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"bounded_collect_min limit must be an integer literal, got $other")
-        })
-      }))
+      // the literal-parsing rules (incl. the out-of-Int-range rejection)
+      // live in ONE builder shared with BoundedCollectMin.register
+      BoundedCollectMin.build(_)))
   }
 }

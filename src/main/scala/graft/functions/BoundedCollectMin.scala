@@ -162,23 +162,37 @@ case class BoundedCollectMin(
 }
 
 object BoundedCollectMin {
-  /** Idempotently register `bounded_collect_min(v, limit)`; `limit` must be a
-    * foldable positive integer literal (it sizes the aggregation buffer, so a
-    * per-row value is meaningless).
+  /** The one function-registry builder, shared by [[register]] and
+    * GraftExtensions.injectFunction so the literal-parsing rules cannot
+    * drift. `limit` must be a foldable positive in-Int-range integer
+    * literal (it sizes the aggregation buffer, so a per-row value is
+    * meaningless) — an out-of-range Long like 4294967297L is REJECTED, not
+    * silently truncated to 1 (the pre-r18 `l.toInt` would have shrunk the
+    * retained state drastically while passing the >= 1 require).
     */
+  def build(args: Seq[Expression]): BoundedCollectMin = {
+    require(args.length == 2, "bounded_collect_min takes (value, limit)")
+    require(args(1).foldable, "bounded_collect_min limit must be a literal")
+    val l = args(1).eval() match {
+      case i: Int => i
+      case l: Long =>
+        try Math.toIntExact(l)
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"bounded_collect_min limit must fit in an Int, got $l")
+        }
+      case b: Byte => b.toInt
+      case s: Short => s.toInt
+      case other => throw new IllegalArgumentException(
+        s"bounded_collect_min limit must be an integer literal, got $other")
+    }
+    BoundedCollectMin(args.head, l)
+  }
+
+  /** Idempotently register `bounded_collect_min(v, limit)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bounded_collect_min"),
       new ExpressionInfo(classOf[BoundedCollectMin].getName, "bounded_collect_min"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "bounded_collect_min takes (value, limit)")
-        require(args(1).foldable, "bounded_collect_min limit must be a literal")
-        val l = args(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"bounded_collect_min limit must be an integer literal, got $other")
-        }
-        BoundedCollectMin(args.head, l)
-      })
+      build(_))
 }

@@ -98,8 +98,11 @@ object Multimodal {
         else {
           val r = readers.next()
           try {
-            // allowSearch is safe here: the stream is a bounded in-memory
-            // buffer, so the "search" is a bounded header walk, not I/O
+            // seekForwardOnly=false (the second argument) is required so
+            // getNumImages(allowSearch=true) below can walk the stream's
+            // block structure backwards-and-forwards; safe here because the
+            // stream is a bounded in-memory buffer, so the walk is a bounded
+            // header scan, not I/O
             r.setInput(iis, false, true)
             val w = r.getWidth(0)
             val h = r.getHeight(0)

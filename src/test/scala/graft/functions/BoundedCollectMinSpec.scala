@@ -89,4 +89,19 @@ class BoundedCollectMinSpec extends AnyFunSuite {
       df.groupBy(lit(1)).agg(expr("bounded_collect_min(v, v)")).collect()
     }
   }
+
+  test("an out-of-Int-range Long limit is rejected, never silently truncated") {
+    val s = spark
+    BoundedCollectMin.register(s)
+    import s.implicits._
+    val df = s.sparkContext.parallelize(Seq(1L)).toDF("v")
+    // 2^32 + 1 truncates to 1 under the pre-r18 `.toInt` — passing the
+    // >= 1 require while silently shrinking the retained state 4-billion-fold
+    val e = intercept[Exception] {
+      df.groupBy(lit(1)).agg(expr("bounded_collect_min(v, 4294967297)")).collect()
+    }
+    assert(e.getMessage.contains("fit in an Int") ||
+      Option(e.getCause).exists(_.getMessage.contains("fit in an Int")),
+      s"expected the out-of-range rejection, got: ${e.getMessage}")
+  }
 }
