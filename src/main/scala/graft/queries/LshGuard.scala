@@ -99,12 +99,19 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * overwhelmingly singletons, so the r17 form paid that interpreted path on
   * every membership row for nothing (the round-17 verdict's one attributable
   * wall regression: d07 11.2 → 19.8 s); the pre-drop routes the singleton
-  * mass through HashAggregateExec's codegen'd count (whose shuffle carries
-  * keys + a long, no member payload) and the semi-joined remainder — tiny on
-  * every benign corpus — through the bounded aggregation. Results are
+  * mass through HashAggregateExec's codegen'd count over xxhash64(keys)
+  * (whose shuffle carries 16 bytes/row, no member payload), builds a bloom
+  * filter of the hot hashes, and scan-locally filters the membership frame
+  * through it before the bounded aggregation — so the payload's one exchange
+  * carries only non-singleton members at every scale. Results are
   * byte-identical by construction: singleton buckets emit no pairs in any
-  * regime. `SPARK_GRAFT_SINGLETON_PREDROP=0` opts out (A/B measurement knob,
-  * same contract as SPARK_GRAFT_RETIRE_PAIRS).
+  * regime, and a bloom false positive only spuriously keeps one. Measured at
+  * sf100 (16g/16 standalone, r17 baselines in parentheses): d04 899 → 1038
+  * MB for 10.97 → 5.9 s, d07-64 418 → ~500 MB for 19.8 → ~7 s — the byte
+  * cost is the thin count exchange, the wall win is the interpreted
+  * aggregation running over ~nothing. `SPARK_GRAFT_SINGLETON_PREDROP=0`
+  * opts out (A/B measurement knob, same contract as
+  * SPARK_GRAFT_RETIRE_PAIRS).
   *
   * Observability (r18): a fired star used to be visible only if the operator
   * separately ran [[oversizedBuckets]] — a second aggregation ScaleCheck
@@ -170,6 +177,30 @@ object LshGuard {
     starredMembersTotal.set(0)
   }
 
+  /** Register the two Spark-internal bloom expressions the pre-drop uses
+    * (the same classes InjectRuntimeFilter builds directly): the aggregate
+    * sized at 4M expected hot buckets / 4 MB of bits — inside the configured
+    * runtime-filter ceilings, exact-ish on every measured corpus, and
+    * degrading only in prune RATE beyond it (false positives keep
+    * singletons, never drop members).
+    */
+  private def registerBloomKernels(s: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val reg = s.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) =>
+        new BloomFilterAggregate(args.head, Literal(4000000L), Literal(33554432L)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (args: Seq[Expression]) =>
+        new BloomFilterMightContain(args(0), args(1)))
+  }
+
   private val observedSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
@@ -233,23 +264,57 @@ object LshGuard {
     val keys = keyCols.map(col)
     // Singleton pre-drop (r18): only members of buckets with >1 row reach the
     // interpreted TypedImperativeAggregate. The count pass is a codegen'd
-    // HashAggregate whose shuffle carries (keys, long) — no member payload —
-    // and map-side combine collapses it to ~distinct-key cardinality; the
-    // kept-key frame is tiny on every benign corpus (AQE broadcasts it), so
+    // HashAggregate over xxhash64(keys) — 16 bytes/row where MinHash's
+    // (band, md5-sig) keys are ~48 (measured at sf100: the key-typed count
+    // pass put d04 at 1447 MB vs the hashed form's thin exchange) — and the
+    // kept-hash frame is tiny on every benign corpus (AQE broadcasts it), so
     // the membership frame reaches the bounded aggregation unshuffled and
-    // already pruned. Byte-identical output: singleton buckets emit no pairs
-    // in any regime (the post-agg n > 1 filter stays as the null-member
-    // backstop — a bucket of one non-null member padded by nulls passes the
-    // row count but not the non-null count).
+    // already pruned. A 64-bit hash collision merges two buckets' counts and
+    // can only spuriously KEEP a singleton — the safe direction: the bounded
+    // aggregation re-groups by the TRUE keys, so output is byte-identical in
+    // every case (and the post-agg n > 1 filter drops the kept singleton,
+    // doubling as the null-member backstop — a bucket of one non-null member
+    // padded by nulls passes the row count but not the non-null count).
     val predrop = Knobs.bool("SPARK_GRAFT_SINGLETON_PREDROP").getOrElse(true)
-    val members = if (!predrop) b else
-      b.join(
-        b.groupBy(keys: _*).agg(count(lit(1)).as("__n0"))
-          .filter(col("__n0") > 1).select(keys: _*),
-        keyCols, "leftsemi")
     val n = col("__g.n")
     val mn = col("__g.mn")
     val sorted = array_sort(col("__g.items"))
+    // The payload must cross exactly ONE exchange in either join regime, so
+    // the hash rides as a materialized column and the aggregation groups by
+    // (hash, keys) — identical groups (the hash is determined by the keys),
+    // and HashPartitioning(__kh) from a shuffled semi-join satisfies the
+    // grouping's distribution, so no second payload exchange appears when
+    // the hot-hash side is too large to broadcast (measured at sf100 d07-64,
+    // where EVERY 16-bit bucket is hot: the expression-keyed join form
+    // re-shuffled the payload, 469 → 812 MB).
+    // A bloom runtime filter, not a semi-join: the hot-hash set rides into
+    // the membership scan as a SCALAR SUBQUERY feeding might_contain — the
+    // exact mechanism Spark's own InjectRuntimeFilter uses — so the drop is
+    // a codegen'd scan-local predicate with NO join to plan. Both join forms
+    // were measured and rejected: AQE's broadcast regime is benign-optimal
+    // but degrades to a sort-merge join once the hot side outgrows the
+    // threshold, and that SMJ's sort over the full payload on AQE-coalesced
+    // partitions OOM'd the fifth-decade d09 rep at the documented 0.5
+    // GB/task density; forcing shuffle_hash avoids the sort but blocks the
+    // broadcast conversion, so the payload shuffled PRE-prune on every
+    // benign corpus (d12 sf0.1: 0.29 → 0.90 MB). The bloom has neither
+    // regime: fixed 4 MB of bits at any corpus size, and false positives
+    // only spuriously KEEP a singleton — the safe direction (the bounded
+    // aggregation re-groups by the true keys and the n > 1 filter drops
+    // them), so output stays byte-identical while the prune rate degrades
+    // gracefully past ~4M hot buckets. An all-singleton corpus aggregates a
+    // NULL bloom and might_contain(null) drops every row — vacuously right,
+    // since no bucket could pair.
+    val members = if (!predrop) b else {
+      registerBloomKernels(b.sparkSession)
+      val b2 = b.withColumn("__kh", xxhash64(keys: _*))
+      val hotBloom = b2.groupBy("__kh").agg(count(lit(1)).as("__n0"))
+        .filter(col("__n0") > 1)
+        .agg(expr("graft_bloom_agg(__kh)").as("__bf"))
+        .scalar()
+      b2.filter(call_function("graft_might_contain", hotBloom, col("__kh")))
+        .drop("__kh")
+    }
     members.groupBy(keys: _*)
       .agg(expr(s"bounded_collect_min(`$memberCol`, $stateCap)").as("__g"))
       // keys served their purpose (the grouping); prune them before the

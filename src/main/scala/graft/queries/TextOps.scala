@@ -313,6 +313,10 @@ object TextOps {
   def prewarmStages(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "text-bands" -> (() => { bandsCached(s, d).count(); () }),
     "text-simhash" -> (() => { simhashCached(s, d).count(); () }),
+    // d12 reads it at every scale, and d07 routes through it past 32k docs
+    // (simhashBitsFor) — build it here so the first timed rep doesn't absorb
+    // the md5-per-token signature scan
+    "text-simhash128" -> (() => { simhash128Sigs(s, d).count(); () }),
     "text-shingles" -> (() => {
       val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
       if (fp >= 0 && fp < CachedVerifyMaxDocBytes) {

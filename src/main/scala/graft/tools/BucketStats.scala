@@ -45,6 +45,13 @@ object BucketStats {
       // occupancy than the md5-128 minhash sigs, the quadratic-regime term)
       val sb = graft.queries.TextOps.simhashBandFrameForProbe(spark, dir)
       report("simhash", sb.groupBy("bi", "bv").agg(count(lit(1)).as("n")))
+      // the 128-bit frame (r18) — what d07 actually bands past 32k docs
+      // (simhashBitsFor) and d12 bands everywhere: 2^32 buckets/band, so a
+      // benign corpus must show ZERO oversized buckets at any measured scale
+      val db = graft.queries.TextOps.docCountCached(spark, dir)
+      println(s"BUCKETS simhash_width docs=$db bits=${graft.queries.TextOps.simhashBitsFor(db)}")
+      val sb128 = graft.queries.TextOps.simhash128BandFrameForProbe(spark, dir)
+      report("simhash128", sb128.groupBy("bi", "bv").agg(count(lit(1)).as("n")))
       // docs-only synthesized dirs (sf1000) ship no embeddings table — skip
       // the embed section rather than fail the text report already printed
       if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
