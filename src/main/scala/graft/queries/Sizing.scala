@@ -273,20 +273,25 @@ object Sizing {
     // The relational spill family (r16), anchored on LINEITEM (see
     // [[ScratchInputTable]]), dense-measured at sf100 (9.94 GB lineitem,
     // 16g/16, 500 ms polling): b10 4.8 GB global peak (0.48x) — its 64 GB
-    // cumulative spill frees per merge and never accumulates; b18 11.6 GB
-    // across two same-JVM reps (1.17x — rep-1 alone peaked 7.6 GB, shuffle
-    // files outlive the rep until GC, so the table covers the repeated-run
-    // shape); b20 13.8 GB (1.39x, its 14.1 GB shuffle write held live).
-    // Table = measured + ~15-25% (the shortfall-is-fatal margin). r17 added
-    // a second validated point (sf150, 16 GB lineitem — the largest this
-    // box's scratch can hold next to b20's peak): b10 0.48→0.49 and b20
-    // 1.39→1.29 scale flat-to-down, but b18's two-rep accumulation ROSE
-    // 1.17→1.42 — OVER the old 1.4 entry (GC timing holds a scale-dependent
-    // number of dead reps' shuffle files live, so the repeated-run ratio is
-    // NOT footprint-proportional). Entry raised to 1.6 (+13% over the worst
-    // measured point); SCALECHECK r17 has both decades' peaks.
+    // cumulative spill frees per merge and never accumulates; b20 13.8 GB
+    // (1.39x, its 14.1 GB shuffle write held live); b10 0.48→0.49 and b20
+    // 1.39→1.29 scale flat-to-down across the sf100/sf150 decades.
+    // Table = measured + ~15-25% (the shortfall-is-fatal margin).
+    // b18's repeated-run history is the instructive one: r16 measured two
+    // same-JVM reps at 1.17x, r17's second decade (sf150, 16 GB lineitem)
+    // ROSE to 1.42x — GC timing held a scale-dependent number of dead reps'
+    // shuffle files live, so the ratio was not footprint-proportional and
+    // the entry was raised to 1.6. r18 removed the MECHANISM instead of
+    // padding the table: Bench/PlanProbe drain the ContextCleaner between
+    // reps (graft.CleanerDrain), and the same-day A/B reproduced both
+    // worlds — drained 11.4 GB = 0.71x at sf150 and 7.6 GB = 0.76x at
+    // sf100 (the single-rep ratios, flat across decades), drain-off 22.7 GB
+    // = 1.42x (r17's digit exactly). Entry lowered to 1.0: +31% over the
+    // worst drained point; a run that deliberately disables the drain
+    // (SPARK_GRAFT_REP_DRAIN=0) re-enters the accumulation regime and must
+    // size for ~1.6x itself — the knob exists only for A/B'ing that regime.
     "b10_slice" -> 0.6,
-    "b18_arrays" -> 1.6,
+    "b18_arrays" -> 1.0,
     "b20_math" -> 1.6)
 
   /** Which table's on-disk footprint anchors each family's expansion ratio.

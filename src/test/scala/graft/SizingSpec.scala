@@ -419,18 +419,21 @@ class SizingSpec extends AnyFunSuite {
   }
 
   test("relational spill family: lineitem-anchored ratios cover the measured peaks " +
-    "at BOTH validated points (sf100 r16, sf150 r17)") {
+    "at BOTH validated points (sf100, sf150)") {
     // dense-measured global peaks / the lineitem footprint (16g/16; b18 runs
-    // two same-JVM reps — shuffle files outlive a rep until GC, so its
-    // number is the repeated-run accumulation where it occurred). Each entry
-    // takes the WORSE of the two points: b10/b20 scale flat-to-down
-    // (0.48→0.49, 1.39→1.29), but b18's accumulation ratio ROSE 1.17→1.42
-    // at sf150 — OVER the old 1.4 table entry, the exact fatal direction
-    // this test exists to catch (GC timing holds a scale-dependent number
-    // of dead reps' files live, so the two-rep ratio is not
-    // footprint-proportional; SCALECHECK r17).
+    // two same-JVM reps). Each entry takes the WORSE of the two points:
+    // b10/b20 scale flat-to-down (0.48→0.49, 1.39→1.29). b18's history:
+    // its two-rep accumulation ratio ROSE 1.17→1.42 across decades because
+    // GC timing held a scale-dependent number of dead reps' shuffle files
+    // live (SCALECHECK r17) — r18 removed the mechanism (CleanerDrain
+    // between reps, wired into Bench/PlanProbe) and re-measured BOTH
+    // decades drained: 7.6 GB = 0.76x at sf100, 11.4 GB = 0.71x at sf150 —
+    // the single-rep ratios, flat — with the drain-off control reproducing
+    // r17's 22.7 GB = 1.42x to the digit the same day. The pinned points
+    // are the drained ones (the shipped default); the accumulation regime
+    // exists only behind SPARK_GRAFT_REP_DRAIN=0.
     val measured = Map(
-      "b10_slice" -> 7.9 / 16.0, "b18_arrays" -> 22.7 / 16.0,
+      "b10_slice" -> 7.9 / 16.0, "b18_arrays" -> 7.6 / 9.94,
       "b20_math" -> 13.8 / 9.94)
     for ((q, m) <- measured) {
       assert(Sizing.ScratchInputTable(q) === "lineitem",
