@@ -80,6 +80,11 @@ object VectorOps {
       // sf0.1 bench charged s02 +0.36 s for it). TrieMap getOrElseUpdate may
       // double-run the count under a concurrent first query — harmless.
       "emb-count" -> (() => { embCountCached(s, d); () }),
+      // d08's guard reads the banded frame twice (bloom pass + aggregation);
+      // build the cache here so the first timed rep doesn't absorb it
+      "vec-bands" -> (() => {
+        vecBandsCached(s, d, bandBitsFor(embCountCached(s, d))).count(); ()
+      }),
       "ivf-16-0" -> (() => { ivfAssignCached(s, d, 16, 0).count(); () }),
       "ivf-16-1" -> (() => { ivfAssignCached(s, d, 16, 1).count(); () }))
   }
@@ -90,6 +95,8 @@ object VectorOps {
       m.values.foreach(_.unpersist())
       m.clear()
     }
+    vecBandsCache.values.foreach(_.unpersist())
+    vecBandsCache.clear()
     countCache.clear()
   }
 
@@ -182,9 +189,30 @@ object VectorOps {
     // any band width, so the quadratic-bucket hazard is structural here, not
     // just adversarial. Oversized buckets star on the bucket min; the default
     // cap clears every measured corpus so d08/s02 oracle rows are untouched.
-    LshGuard.guardedSelfJoinPairs(
-      banded(emb, bits).select("vec_id", "bi", "bucket"),
-      "vec_id", Seq("bi", "bucket"))
+    embedCandidatePairsFrom(banded(emb, bits).select("vec_id", "bi", "bucket"))
+
+  /** [[embedCandidatePairs]] over a prebuilt (vec_id, bi, bucket) membership
+    * frame — d08 passes the CACHED frame so the guard's two passes over it
+    * (the singleton-count bloom pass, then the bounded aggregation — r18)
+    * don't each re-pay the parquet scan + the 24-to-28-term signBand concat.
+    */
+  def embedCandidatePairsFrom(b: DataFrame): DataFrame =
+    LshGuard.guardedSelfJoinPairs(b, "vec_id", Seq("bi", "bucket"))
+
+  /** Cached banded membership frame per (session, dir, width) — the same
+    * read-twice-per-query argument as TextOps' unconditional bands cache
+    * (r10's measured 63% win at 50 M docs): the r17 join form read this frame
+    * on both join sides, the r18 guard reads it in the bloom count pass and
+    * the bounded aggregation, and uncached each read is a full embeddings
+    * scan + banding (measured r18 at sf100: d08 11.6 → 27.7 s standalone
+    * when the bloom pass re-derived it; cached, the pass is a cache hit).
+    */
+  private val vecBandsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  private def vecBandsCached(s: SparkSession, d: String, bits: Int): DataFrame =
+    vecBandsCache.getOrElseUpdate((s, d, bits),
+      banded(embeddings(s, d), bits).select("vec_id", "bi", "bucket").cache())
 
   /** cos between two array<float> columns, full double accumulation via vec_dot. */
   private def cosOf(a: String, b: String): Column =
@@ -429,7 +457,9 @@ object VectorOps {
       // through both exchanges (2×64 floats per row) just to be deduped by id.
       // Shared with the [[embedCandidatePairs]] probe, which also brings the
       // r16 hot-bucket guard (a dense embedding region's bucket stays linear).
-      val pairs = embedCandidatePairs(emb, bandBitsFor(embCountCached(s, d)))
+      // The membership frame is CACHED (r18): the guard reads it twice.
+      val pairs = embedCandidatePairsFrom(
+        vecBandsCached(s, d, bandBitsFor(embCountCached(s, d))))
       val dot = expr("vec_dot(ea, eb)")
       val na = expr("vec_dot(ea, ea)")
       val nb = expr("vec_dot(eb, eb)")
