@@ -66,10 +66,10 @@ object Bench {
     // this dir. The tail is warn-phrased — Bench never refuses, so the
     // default message's SPARK_GRAFT_PREFLIGHT=0 override would be guidance
     // for a refusal that is not going to happen.
-    graft.queries.Sizing.ScratchExpansion.keys.toSeq.sorted
+    graft.queries.Sizing.effectiveScratchExpansion.keys.toSeq.sorted
       .filter(q => only.forall(_.contains(q)))
       .foreach(q => graft.queries.Sizing.preflightScratch(spark, sfDir, q,
-        graft.queries.Sizing.ScratchExpansion,
+        graft.queries.Sizing.effectiveScratchExpansion,
         tail = "expect a mid-run disk death for this row (warn-only: the bench proceeds)"))
     // Whole-run dense scratch poll (r15, mirrors PlanProbe): every sweep
     // records its disk-headroom trough for free — at sf100+ the scratch
@@ -252,6 +252,13 @@ object Bench {
       if (i % 8 == 0) { curMid = miniCalibration(); mids ::= (name, curMid) }
       var err: Option[String] = None
       val (spill0, shuffle0) = drainedSnapshot()
+      // per-query fired-guard accounting (r19): the in-plan telemetry prints
+      // to stderr when a hot bucket stars, but a sweep artifact should carry
+      // the evidence itself — zero across every oracle corpus, nonzero when
+      // a megacluster corpus stars (the same self-archiving argument as
+      // bench_last.json). drainedSnapshot's waitUntilEmpty has already
+      // flushed the execution-listener bus, so the totals are current.
+      val guard0 = graft.queries.LshGuard.guardFiredTotals._1
       val times = (1 to runs).map { rep =>
         val t0 = System.nanoTime()
         if (err.isEmpty) {
@@ -280,6 +287,7 @@ object Bench {
       val (spill1, shuffle1) = drainedSnapshot()
       val spillMb = (spill1 - spill0) / (1 << 20)
       val shuffleMb = (shuffle1 - shuffle0) / (1 << 20)
+      val guardFired = graft.queries.LshGuard.guardFiredTotals._1 - guard0
       val median = times(times.length / 2)
       // stream one line per COMPLETED query, immediately: the round-11 sf100
       // sweep died fatally (heap OOM in d08) with ~9 minutes of finished
@@ -289,11 +297,11 @@ object Bench {
       // stdout JSON lines) is unchanged and a crashed run still leaves its
       // partial sweep greppable from the log.
       val rowJson = err match {
-        case None => s"""{"q":"${esc(name)}","sec":$median,"mid":$curMid,"spill_mb":$spillMb,"shuffle_mb":$shuffleMb}"""
+        case None => s"""{"q":"${esc(name)}","sec":$median,"mid":$curMid,"spill_mb":$spillMb,"shuffle_mb":$shuffleMb,"guard_fired":$guardFired}"""
         case Some(e) => s"""{"q":"${esc(name)}","err":"${esc(e)}","mid":$curMid}"""
       }
       System.err.println(s"BENCHROW $rowJson")
-      (name, median, err, curMid, spillMb, shuffleMb)
+      (name, median, err, curMid, spillMb, shuffleMb, guardFired)
     }.sortBy(_._1)
     // Per-row contention SELF-CLASSIFICATION: a row whose nearest preceding
     // mini-calibration sample exceeded 2× the run's median mini-calibration ran
@@ -305,20 +313,26 @@ object Bench {
       if (v.isEmpty) Double.NaN else v(v.length / 2)
     }
     val qs = results.map {
-      case (k, v, None, mid, _, _) if !midMedian.isNaN && mid > 2 * midMedian =>
+      case (k, v, None, mid, _, _, _) if !midMedian.isNaN && mid > 2 * midMedian =>
         s"\"${esc(k)}\":{\"sec\":$v,\"contended\":true}"
-      case (k, v, None, _, _, _) => s"\"${esc(k)}\":$v"
-      case (k, _, Some(e), _, _, _) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
+      case (k, v, None, _, _, _, _) => s"\"${esc(k)}\":$v"
+      case (k, _, Some(e), _, _, _, _) => s"\"${esc(k)}\":{\"err\":\"${esc(e)}\"}"
     }.mkString("{", ",", "}")
     // per-query executor spill (memory+disk) and shuffle-write deltas, MB —
     // the memory-pressure signal the contended flag's CPU probe cannot see
     val spillJson = results
-      .map { case (k, _, _, _, sp, _) => s"\"${esc(k)}\":$sp" }
+      .map { case (k, _, _, _, sp, _, _) => s"\"${esc(k)}\":$sp" }
       .mkString("{", ",", "}")
     val shuffleJson = results
-      .map { case (k, _, _, _, _, sh) => s"\"${esc(k)}\":$sh" }
+      .map { case (k, _, _, _, _, sh, _) => s"\"${esc(k)}\":$sh" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None, _, _, _) => v }.sum + cacheBuild
+    // per-query capped-bucket count from the in-plan guard telemetry — a
+    // fired star at scale is part of the committed evidence chain, not just
+    // a stderr line (r19)
+    val guardJson = results
+      .map { case (k, _, _, _, _, _, gf) => s"\"${esc(k)}\":$gf" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None, _, _, _, _) => v }.sum + cacheBuild
     // the SAME fixed workload re-timed after the last query: one start-of-run sample
     // can't see mid-run contention drift (the round-5 driver run started ~10x
     // contended and got ~27x worse by cache_build); start+end brackets the run
@@ -329,7 +343,7 @@ object Bench {
     val samplesJson = calibrationSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
     val stagesJson = stageTimes.toSeq.sortBy(_._1)
       .map { case (n, t) => f"\"${esc(n)}\":$t%.3f" }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spill_mb":$spillJson,"shuffle_mb":$shuffleJson,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"contended_run":$contendedRun,"scratch_baseline_gb":${scratchBaseline >> 30},"scratch_trough_gb":${scratchTrough.get >> 30},"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spill_mb":$spillJson,"shuffle_mb":$shuffleJson,"guard_fired":$guardJson,"cache_build":$cacheBuild,"cache_build_stages":$stagesJson,"calibration":$calibration,"calibration_samples":$samplesJson,"calibration_end":$calibrationEnd,"calibration_mid":$midJson,"contended_run":$contendedRun,"scratch_baseline_gb":${scratchBaseline >> 30},"scratch_trough_gb":${scratchTrough.get >> 30},"order_seed":$seed,"sf":"$sfDir","failed":${failed.length}}"""
     println(fullJson)
     // Truncation-proof SUMMARY, printed last: the r8 driver capture kept only
     // the tail of the big line, losing the total and 16 rows. A tail capture

@@ -34,14 +34,27 @@ object CleanerDrain {
     * would accumulate proxies on the cleaner's listener queue).
     */
   private val lastEvent = new AtomicLong(0L)
-  private val attached = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkContext]()
 
-  private def attach(sc: SparkContext): Boolean =
-    try {
-      if (attached.add(sc)) {
+  /** Per-context attach outcome, tri-state (r19, the r18 ADVICE item): TRUE =
+    * listener attached (take the listener-wait path), FALSE = this context
+    * provably has no cleaner (referenceTracking disabled — every later drain
+    * takes the cheap blind fallback instead of two empty quiet-window waits),
+    * absent = never tried, or the reflective attach threw (retry next call —
+    * a transient failure must not permanently demote the context). WEAK keys:
+    * the registry must not hold stopped SparkContexts live for the JVM
+    * lifetime (same leak class the ADVICE named).
+    */
+  private val attachState = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
+
+  private def attach(sc: SparkContext): Boolean = {
+    val known = attachState.get(sc)
+    if (known != null) known.booleanValue()
+    else
+      try {
         val cleanerOpt = sc.getClass.getMethod("cleaner").invoke(sc)
           .asInstanceOf[Option[AnyRef]]
-        cleanerOpt match {
+        val ok = cleanerOpt match {
           case Some(cleaner) =>
             val cls = Class.forName("org.apache.spark.CleanerListener")
             val proxy = java.lang.reflect.Proxy.newProxyInstance(
@@ -58,15 +71,15 @@ object CleanerDrain {
             cleaner.getClass.getMethod("attachListener", cls).invoke(cleaner, proxy)
             true
           case None =>
-            // spark.cleaner.referenceTracking=false: nothing to drain
+            // spark.cleaner.referenceTracking=false: nothing to drain, ever
             false
         }
-      } else true
-    } catch {
-      case scala.util.control.NonFatal(_) =>
-        attached.remove(sc)
-        false
-    }
+        attachState.put(sc, java.lang.Boolean.valueOf(ok))
+        ok
+      } catch {
+        case scala.util.control.NonFatal(_) => false
+      }
+  }
 
   /** Force a GC and wait (bounded) until the ContextCleaner reports no new
     * cleanup for `quietMs`. Two gc rounds: the first collection can promote

@@ -58,4 +58,12 @@ object SparkEntry {
       graft.queries.VectorOps.oracles ++
       graft.queries.EventOps.oracles ++
       graft.queries.MediaOps.oracles
+
+  /** [[oracleSql]] with corpus-dependent rows resolved against the concrete
+    * run directory — what Verify dumps, so the SQL always describes the plan
+    * the SAME run registered (today the only dynamic row is d07's
+    * corpus-derived SimHash width; see TextOps.oraclesFor).
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++ graft.queries.TextOps.oraclesFor(spark, sfDir)
 }

@@ -39,7 +39,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor, not oracleSql: corpus-dependent rows (d07's derived
+    // SimHash width) must dump the SQL matching the plan THIS run executed —
+    // a static 64-bit d07 oracle replayed on a >32k-doc corpus would
+    // hash-mismatch the derived 128-bit route (r18 ADVICE).
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Caches.clearAll()

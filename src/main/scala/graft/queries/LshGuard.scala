@@ -201,8 +201,11 @@ object LshGuard {
         new BloomFilterMightContain(args(0), args(1)))
   }
 
+  // weak keys (r19): the registration guard must not pin stopped sessions
+  // for the JVM lifetime — the listener itself dies with its session
   private val observedSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    java.util.Collections.newSetFromMap(java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Once per session: read every guarded plan's observation after each
     * successful action, log a driver line when the guard FIRED, accumulate
@@ -279,14 +282,16 @@ object LshGuard {
     val n = col("__g.n")
     val mn = col("__g.mn")
     val sorted = array_sort(col("__g.items"))
-    // The payload must cross exactly ONE exchange in either join regime, so
-    // the hash rides as a materialized column and the aggregation groups by
-    // (hash, keys) — identical groups (the hash is determined by the keys),
-    // and HashPartitioning(__kh) from a shuffled semi-join satisfies the
-    // grouping's distribution, so no second payload exchange appears when
-    // the hot-hash side is too large to broadcast (measured at sf100 d07-64,
-    // where EVERY 16-bit bucket is hot: the expression-keyed join form
-    // re-shuffled the payload, 469 → 812 MB).
+    // The shipped pre-drop is a scan-local predicate, not a join: the
+    // membership scan computes xxhash64(keys) as a transient column, a thin
+    // count pass aggregates the hot (n > 1) hashes into a bloom filter, and
+    // that bloom reaches the scan as a scalar subquery feeding
+    // might_contain — so the payload's ONE exchange is the groupBy over the
+    // TRUE keys below, now carrying only non-singleton members, and no
+    // second payload exchange can ever appear because there is no join to
+    // plan (the expression-keyed join form re-shuffled the payload at sf100
+    // d07-64, where EVERY 16-bit bucket is hot: 469 → 812 MB — measured and
+    // rejected).
     // A bloom runtime filter, not a semi-join: the hot-hash set rides into
     // the membership scan as a SCALAR SUBQUERY feeding might_contain — the
     // exact mechanism Spark's own InjectRuntimeFilter uses — so the drop is

@@ -287,12 +287,37 @@ object Sizing {
     // worlds — drained 11.4 GB = 0.71x at sf150 and 7.6 GB = 0.76x at
     // sf100 (the single-rep ratios, flat across decades), drain-off 22.7 GB
     // = 1.42x (r17's digit exactly). Entry lowered to 1.0: +31% over the
-    // worst drained point; a run that deliberately disables the drain
-    // (SPARK_GRAFT_REP_DRAIN=0) re-enters the accumulation regime and must
-    // size for ~1.6x itself — the knob exists only for A/B'ing that regime.
+    // worst drained point. A run that deliberately disables the drain
+    // (SPARK_GRAFT_REP_DRAIN=0) re-enters the accumulation regime — the
+    // preflight lookup consults the knob ([[effectiveScratchExpansion]]) and
+    // sizes that leg at the pre-drain 1.6 entry automatically.
     "b10_slice" -> 0.6,
     "b18_arrays" -> 1.0,
     "b20_math" -> 1.6)
+
+  /** Accumulation-regime overrides that apply only when the between-reps
+    * ContextCleaner drain is explicitly disabled (r19, the r18 ADVICE item):
+    * b18's 1.0 entry was lowered on DRAINED measurements, but a run with
+    * SPARK_GRAFT_REP_DRAIN=0 re-enters the measured 1.42× regime (sf150,
+    * r18 A/B) — above the shortfall-is-fatal 1.0 entry. The preflight lookup
+    * consults the knob via [[effectiveScratchExpansion]], so disabling the
+    * drain can never silently under-size; 1.6 is the pre-drain table value
+    * (+13% over the worst measured accumulation point).
+    */
+  private[graft] val ScratchExpansionDrainOff: Map[String, Double] =
+    Map("b18_arrays" -> 1.6)
+
+  /** The family table for a given drain setting, pure for spec pinning. */
+  private[graft] def scratchExpansionForDrain(drainDisabled: Boolean): Map[String, Double] =
+    if (drainDisabled) ScratchExpansion ++ ScratchExpansionDrainOff
+    else ScratchExpansion
+
+  /** [[ScratchExpansion]] adjusted for this process's drain setting — what
+    * every preflight consults. Env vars cannot change mid-process, so the
+    * selection is stable for the run.
+    */
+  def effectiveScratchExpansion: Map[String, Double] =
+    scratchExpansionForDrain(Knobs.bool("SPARK_GRAFT_REP_DRAIN").contains(false))
 
   /** Which table's on-disk footprint anchors each family's expansion ratio.
     * The text/dedup families key on the documents table (historical rows
@@ -364,7 +389,7 @@ object Sizing {
     */
   def preflightScratch(s: SparkSession, dataDir: String,
       query: String): Option[String] =
-    preflightScratch(s, dataDir, query, ScratchExpansion)
+    preflightScratch(s, dataDir, query, effectiveScratchExpansion)
 
   /** [[preflightScratch]] with the family-ratio table, message tail, and
     * master injectable (specs pin the fires, fits, and cluster-stand-down

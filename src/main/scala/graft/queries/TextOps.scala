@@ -722,6 +722,65 @@ object TextOps {
     cleanKeep(ex, edges)
   }
 
+  /** d09 — near-dup clusters over Jaccard-verified edges, with the verify's
+    * edge frame optionally MATERIALIZED at a parquet boundary before the
+    * component loop starts (r19, the d09 spill item: the sf1000 rep carries
+    * ~7× the input in cumulative spill against ~50 GB of shuffle, and r18
+    * falsified the pinned-checkpoint hypothesis — the mass is the verify
+    * aggregations' shuffle files, which the FUSED plan holds referenced until
+    * the final action while the loop keeps allocating against the same
+    * scratch volume and memory pool. The d10s precedent: a written-and-read-
+    * back boundary truncates lineage, so the verify's shuffle files become
+    * collectable the moment the edge table lands, BEFORE the loop's
+    * checkpoints and aggregations stack on top).
+    *
+    * `staged`: Some overrides (the spec's parity pin and the measurement
+    * knob's parsed value); None gates on the documents footprint — staged at
+    * and above [[CachedVerifyMaxDocBytes]] (the same pivot where the verify
+    * switches to its scan-local big-corpus branch) or on an unknown
+    * footprint (-1, failing SAFE to the shape that is correct at any size),
+    * fused below it (the boundary write is pure constant overhead at oracle
+    * scales, and the gate corpora stay byte-identical plans). Both branches
+    * are row-identical by construction — same edge builder, same loop —
+    * and ComponentsSpec-style pinned in StagedCleanSpec.
+    * SPARK_GRAFT_D09_STAGED=0/1 overrides the gate (A/B knob, same contract
+    * as SPARK_GRAFT_RETIRE_PAIRS).
+    */
+  private[graft] def dedupClusters(s: SparkSession, d: String,
+      staged: Option[Boolean] = None): DataFrame = {
+    // d09's measured fifth-decade partition floor exceeds the family rule
+    // (its checkpointed loop pins storage blocks against the aggregation's
+    // execution appetite — Sizing.ShingleExpansionOverride has the
+    // evidence); raise-only, so it composes with the family sizing the
+    // cache builders apply
+    Sizing.autoSizeShingleExchange(s, s"$d/documents.parquet",
+      Sizing.shingleExpansionFor("d09_dedup_clusters"))
+    val edges0 = jaccardCounts(s, d)
+      .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
+      .select("id_a", "id_b")
+    val useStage = staged
+      .orElse(Knobs.bool("SPARK_GRAFT_D09_STAGED"))
+      .getOrElse {
+        val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
+        fp < 0 || fp >= CachedVerifyMaxDocBytes
+      }
+    val edges =
+      if (!useStage) edges0
+      else {
+        // per-(session, input) dir under tmpdir, overwritten on re-invocation
+        // (the cleanCorpusStaged contract: repeated bench reps don't
+        // accumulate copies; the returned frame reads the boundary, so
+        // nothing here deletes it)
+        val p = s"${sys.props("java.io.tmpdir")}/graft-d09-staged/" +
+          f"${(s.hashCode.toLong << 32 | (d.hashCode.toLong & 0xffffffffL))}%016x/edges.parquet"
+        edges0.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      }
+    Components.minLabelComponents(edges)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 128-bit SimHash candidate pairs — the d07 scale variant (SCALECHECK.md): the
     * 64-bit signature's 4×16-bit bands stop pruning once a shard approaches ~2^16
     * docs. The full-md5 `simhash128` kernel doubles the bit budget, banded as
@@ -840,6 +899,28 @@ object TextOps {
     if (needed <= 16) 64 else 128
   }
 
+  /** The signature width the registered d07 actually resolves for (s, d):
+    * SPARK_GRAFT_SIMHASH_BITS=64/128 overrides (the A/B measurement knob,
+    * warn-and-fall-through on anything else — same human-outranks-heuristic
+    * contract as SPARK_GRAFT_RETIRE_PAIRS), otherwise [[simhashBitsFor]] over
+    * the corpus row count. ONE resolver, shared by the d07 query entry and
+    * [[oraclesFor]]'s SQL selection, so the plan and the oracle SQL dumped
+    * for the same run can never disagree on width (r18 ADVICE: the static
+    * 64-bit oracle replayed on a >32k-doc corpus — sf1's 50k docs — would
+    * hash-mismatch the derived 128-bit plan and masquerade as a logic bug).
+    */
+  private[graft] def resolvedSimhashBits(s: SparkSession, d: String): Int =
+    Knobs.int("SPARK_GRAFT_SIMHASH_BITS")
+      .flatMap {
+        case b @ (64 | 128) => Some(b)
+        case other =>
+          System.err.println(s"[graft] ignoring SPARK_GRAFT_SIMHASH_BITS=" +
+            s"$other (expected 64 or 128); falling through to the " +
+            "corpus-derived width")
+          None
+      }
+      .getOrElse(simhashBitsFor(docCountCached(s, d)))
+
   /** t08's keep predicate (token count, stopword ratio, mean word length bounds) —
     * shared by the t08 report query and d10's pipeline gate. Unrounded doubles,
     * identical arithmetic on both engines.
@@ -935,21 +1016,7 @@ object TextOps {
     // doc its transitive group's min doc_id (the canonical survivor a dedup keep-
     // one-per-cluster pass retains). The threshold compares the UNROUNDED ratio of
     // integer counts — bit-identical across engines, no .xx5 boundary coin flips.
-    "d09_dedup_clusters" -> ((s, d) => {
-      // d09's measured fifth-decade partition floor exceeds the family rule
-      // (its checkpointed loop pins storage blocks against the aggregation's
-      // execution appetite — Sizing.ShingleExpansionOverride has the
-      // evidence); raise-only, so it composes with the family sizing the
-      // cache builders apply
-      Sizing.autoSizeShingleExchange(s, s"$d/documents.parquet",
-        Sizing.shingleExpansionFor("d09_dedup_clusters"))
-      val edges = jaccardCounts(s, d)
-        .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
-        .select("id_a", "id_b")
-      Components.minLabelComponents(edges)
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-        .orderBy("doc_id")
-    }),
+    "d09_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
 
     // SimHash signatures (dedup family #3 after exact + MinHash-LSH).
     "d06_simhash" -> ((s, d) =>
@@ -983,20 +1050,9 @@ object TextOps {
     // SPARK_GRAFT_SIMHASH_BITS=64/128 overrides the derivation (A/B
     // measurement knob, same human-outranks-heuristic contract as
     // SPARK_GRAFT_RETIRE_PAIRS; any other value warns and falls through).
-    "d07_simhash_neardup" -> ((s, d) => {
-      val bits = Knobs.int("SPARK_GRAFT_SIMHASH_BITS")
-        .flatMap {
-          case b @ (64 | 128) => Some(b)
-          case other =>
-            System.err.println(s"[graft] ignoring SPARK_GRAFT_SIMHASH_BITS=" +
-              s"$other (expected 64 or 128); falling through to the " +
-              "corpus-derived width")
-            None
-        }
-        .getOrElse(simhashBitsFor(docCountCached(s, d)))
-      if (bits >= 128) simhash128NearDup(s, d)
-      else simhashNearDupPairs(simhashCached(s, d)).orderBy("id_a", "id_b")
-    }),
+    "d07_simhash_neardup" -> ((s, d) =>
+      if (resolvedSimhashBits(s, d) >= 128) simhash128NearDup(s, d)
+      else simhashNearDupPairs(simhashCached(s, d)).orderBy("id_a", "id_b")),
 
     // The 128-bit SimHash near-dup pipeline as its own oracle row (r18 — the
     // round-17 verdict's coverage gap: the production-recommended fifth-
@@ -1446,6 +1502,28 @@ object TextOps {
         "round(63.0 / ((('0x' || substr(max(h), 1, 12))::BIGINT) / 281474976710656.0), 2) AS est_distinct " +
         "FROM topk"),
   )
+
+  /** The width-dependent oracle rows for a resolved signature width, pure in
+    * `bits` for spec pinning: at 128 bits d07's SQL IS [[Sim128NearDupSql]] —
+    * byte-identical to d12's hash-checked oracle, so the substituted SQL is
+    * itself oracle-verified at every gate scale; at 64 bits nothing overrides.
+    */
+  private[graft] def oraclesForBits(bits: Int): Map[String, String] =
+    if (bits >= 128) Map("d07_simhash_neardup" -> Sim128NearDupSql)
+    else Map.empty
+
+  /** [[oracles]] with corpus-dependent rows resolved against a CONCRETE
+    * (session, dir) — what graft.Verify dumps into oracle_sql.json (r19,
+    * closing the r18 ADVICE item): d07's registered plan derives its SimHash
+    * width from the corpus ([[resolvedSimhashBits]]), so the SQL the same run
+    * hands DuckDB must follow the same resolution or an oracle replay past
+    * 32k docs compares 128-bit results against 64-bit semantics and reports
+    * a false mismatch. The static [[oracles]] map stays as the driver-contract
+    * surface — every driver gate corpus resolves to 64 bits, where the two
+    * are identical.
+    */
+  def oraclesFor(s: SparkSession, d: String): Map[String, String] =
+    oracles ++ oraclesForBits(resolvedSimhashBits(s, d))
 
   /** The d10 pipeline's oracle SQL, shared verbatim by the fused
     * (d10_clean_corpus) and staged (d10_clean_staged) entries — the two engine

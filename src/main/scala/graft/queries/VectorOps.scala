@@ -81,9 +81,14 @@ object VectorOps {
       // double-run the count under a concurrent first query — harmless.
       "emb-count" -> (() => { embCountCached(s, d); () }),
       // d08's guard reads the banded frame twice (bloom pass + aggregation);
-      // build the cache here so the first timed rep doesn't absorb it
+      // build the cache here so the first timed rep doesn't absorb it.
+      // Gate-aware (r19): above the footprint gate d08 re-bands per pass and
+      // caches nothing, so prewarming would pay a full corpus banding for a
+      // frame no query reads.
       "vec-bands" -> (() => {
-        vecBandsCached(s, d, bandBitsFor(embCountCached(s, d))).count(); ()
+        if (vecBandsCacheOn(s, d))
+          vecBandsCached(s, d, bandBitsFor(embCountCached(s, d))).count()
+        ()
       }),
       "ivf-16-0" -> (() => { ivfAssignCached(s, d, 16, 0).count(); () }),
       "ivf-16-1" -> (() => { ivfAssignCached(s, d, 16, 1).count(); () }))
@@ -213,6 +218,45 @@ object VectorOps {
   private def vecBandsCached(s: SparkSession, d: String, bits: Int): DataFrame =
     vecBandsCache.getOrElseUpdate((s, d, bits),
       banded(embeddings(s, d), bits).select("vec_id", "bi", "bucket").cache())
+
+  /** Footprint gate for [[vecBandsCached]] (r19 — the r18 VERDICT watch item:
+    * the cache landed unconditional where the text-side shingle/decontam
+    * caches are gated after two measured storage-pool-thrash incidents,
+    * SCALECHECK r10/r13). The pivot is MEASURED, and the measurement moved
+    * it: a first-guess 2 GB pivot (text-cache analogy) was falsified at
+    * sf1000e (4.9 GB embeddings, 20 M vectors — OVER that pivot): the cached
+    * frame is only ~60 B × vectors × bands (the 64-float payload never
+    * enters it), ~2.4 GB resident at that decade, fits the 16 GB reference
+    * pool with ZERO spill and wins 3.7× (fallback 233.7 s vs cached 63.5 s
+    * warm; sf100: 23.8 s vs 10.2 s). The gate therefore sits at 8 GB of
+    * embeddings parquet (~2× the measured-good point; resident ≈ half the
+    * parquet, so ~4 GB against the 16 GB heap's ~9 GB storage share) — the
+    * regime where the resident would genuinely compete with the guard
+    * aggregation's execution pool (≥ ~66 M vectors on ONE box; a cluster
+    * deployment distributes the cache and moves the pivot with it). Above
+    * it — or on an unknown footprint (-1), failing SAFE to the plan correct
+    * at any size — each pass re-bands from the parquet scan: scan-local
+    * work, no resident block, the recompute-per-pass fallback the text
+    * caches use.
+    */
+  private[graft] val CachedBandsMaxEmbBytes: Long = 8L << 30
+
+  /** Branch priority: SPARK_GRAFT_VEC_BANDS_CACHE=0/1 (operator A/B knob,
+    * human outranks heuristic) > the footprint gate. Both branches feed the
+    * identical guarded pair plan — the knob trades speed, never rows.
+    */
+  private[graft] def vecBandsCacheOn(s: SparkSession, d: String): Boolean =
+    Knobs.bool("SPARK_GRAFT_VEC_BANDS_CACHE").getOrElse {
+      val fp = Sizing.footprintBytesCached(s, s"$d/embeddings.parquet")
+      fp >= 0 && fp < CachedBandsMaxEmbBytes
+    }
+
+  /** The banded membership frame d08's guard reads twice — cached below the
+    * gate, rebuilt per read above it.
+    */
+  private def vecBandsGated(s: SparkSession, d: String, bits: Int): DataFrame =
+    if (vecBandsCacheOn(s, d)) vecBandsCached(s, d, bits)
+    else banded(embeddings(s, d), bits).select("vec_id", "bi", "bucket")
 
   /** cos between two array<float> columns, full double accumulation via vec_dot. */
   private def cosOf(a: String, b: String): Column =
@@ -457,9 +501,10 @@ object VectorOps {
       // through both exchanges (2×64 floats per row) just to be deduped by id.
       // Shared with the [[embedCandidatePairs]] probe, which also brings the
       // r16 hot-bucket guard (a dense embedding region's bucket stays linear).
-      // The membership frame is CACHED (r18): the guard reads it twice.
+      // The membership frame is CACHED below the footprint gate (r18/r19):
+      // the guard reads it twice.
       val pairs = embedCandidatePairsFrom(
-        vecBandsCached(s, d, bandBitsFor(embCountCached(s, d))))
+        vecBandsGated(s, d, bandBitsFor(embCountCached(s, d))))
       val dot = expr("vec_dot(ea, eb)")
       val na = expr("vec_dot(ea, ea)")
       val nb = expr("vec_dot(eb, eb)")

@@ -445,4 +445,21 @@ class SizingSpec extends AnyFunSuite {
     // the documents-family rows keep their historical anchor by default
     assert(!Sizing.ScratchInputTable.contains("d10_clean_corpus"))
   }
+
+  test("drain-off preflight re-enters the accumulation-regime b18 entry (r19)") {
+    // the r18 ADVICE item: b18's 1.0 entry is a DRAINED measurement; a run
+    // with SPARK_GRAFT_REP_DRAIN=0 reproduces the 1.42x accumulation regime
+    // and must size at the pre-drain 1.6 entry — the lookup consults the
+    // knob, so the under-size cannot happen silently
+    assert(Sizing.scratchExpansionForDrain(false)("b18_arrays") === 1.0)
+    assert(Sizing.scratchExpansionForDrain(true)("b18_arrays") === 1.6)
+    assert(Sizing.scratchExpansionForDrain(true)("b18_arrays") >= 1.42 * 1.1,
+      "the drain-off entry must clear the measured accumulation point with margin")
+    // only b18 has a drain-dependent entry; every other family row is
+    // identical in both regimes
+    assert(Sizing.scratchExpansionForDrain(true) - "b18_arrays"
+      === Sizing.scratchExpansionForDrain(false) - "b18_arrays")
+    // env unset in the test JVM -> the effective table is the drained one
+    assert(Sizing.effectiveScratchExpansion === Sizing.ScratchExpansion)
+  }
 }

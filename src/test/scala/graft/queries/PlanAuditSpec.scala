@@ -168,6 +168,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(e06.map(_.toString).sorted === e01.map(_.toString).sorted)
   }
 
+  test("e06's two stage-1 forms are row-identical (r19 A/B seam)") {
+    // session_window vs the (user, day)-keyed gaps-and-islands rewrite: both
+    // open a session exactly when ts - prev >= gap and both split/repair at
+    // day boundaries, so whichever form the measurement picks, rows cannot move
+    val sw = EventOps.sessionsSalted(spark, sf, windowStage1 = Some(false)).collect()
+    val gi = EventOps.sessionsSalted(spark, sf, windowStage1 = Some(true)).collect()
+    assert(sw.map(_.toString).toSeq === gi.map(_.toString).toSeq)
+    assert(sw.nonEmpty)
+    // the window form's final aggregation rides the window's (user_id, __day)
+    // exchange — stage 1 must plan exactly ONE shuffle
+    val plan = EventOps.sessionsSalted(spark, sf, windowStage1 = Some(true))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected stage1 + stage2 + sort exchanges only:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan-heavy queries") {
     // AQE prints isFinalPlan=false (no codegen markers) until executed — run first.
     // t01/t03/t04 route through the native kernels (count_words_in,

@@ -58,4 +58,18 @@ class SimHashWidthSpec extends AnyFunSuite {
     assert(d12.map(t => (t._1, t._2)).forall(d07.contains),
       "every 128-bit near-dup pair must be a 64-bit near-dup pair")
   }
+
+  test("the dumped oracle SQL tracks the resolved width (r19, the r18 ADVICE item)") {
+    // pure-in-bits selection: at 64 bits nothing overrides — the static
+    // oracle map is dumped byte-for-byte
+    assert(TextOps.oraclesForBits(64) === Map.empty)
+    // at 128 bits d07's substituted SQL IS d12's hash-checked oracle, so the
+    // width-matched SQL is itself oracle-verified at every gate scale
+    assert(TextOps.oraclesForBits(128) ===
+      Map("d07_simhash_neardup" -> TextOps.oracles("d12_simhash128_neardup")))
+    // the concrete resolver on the gate corpus: 500 docs -> 64-bit -> the
+    // dumped map equals the static driver-contract map
+    assert(TextOps.oraclesFor(spark, sf001) === TextOps.oracles)
+    assert(graft.SparkEntry.oracleSqlFor(spark, sf001) === graft.SparkEntry.oracleSql)
+  }
 }

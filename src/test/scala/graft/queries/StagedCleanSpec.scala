@@ -35,4 +35,23 @@ class StagedCleanSpec extends AnyFunSuite {
     assert(!plan.contains("documents.parquet"), plan.take(2000))
     assert(out.count() === TextOps.queries("d10_clean_corpus")(spark, sf001).count())
   }
+
+  test("d09's staged edge boundary does not change a single row (r19)") {
+    // same parity contract as d10/d10s: the boundary exists purely for its
+    // storage profile (the verify's shuffle files retire before the
+    // component loop allocates); the labels must be bit-identical
+    val fused = TextOps.dedupClusters(spark, sf001, staged = Some(false)).collect()
+    val staged = TextOps.dedupClusters(spark, sf001, staged = Some(true)).collect()
+    assert(fused.map(_.toString).toSeq === staged.map(_.toString).toSeq)
+    assert(fused.nonEmpty) // non-vacuous: the corpus has near-dup clusters
+  }
+
+  test("d09 gate: fused below the verify pivot, staged at and above it") {
+    // sf0.01's documents footprint is far below CachedVerifyMaxDocBytes, so
+    // the registered row keeps the fused (byte-identical, no-tmp-write) plan:
+    // its physical plan scans documents.parquet, not an edges boundary
+    val plan = TextOps.queries("d09_dedup_clusters")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("edges.parquet"), plan.take(2000))
+  }
 }
