@@ -41,7 +41,7 @@ object TextOps {
   private val bandsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private val distinctShinglesCache =
+  private val shingleArraysCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** The band frame caches UNCONDITIONALLY — deliberately unlike the
@@ -60,14 +60,6 @@ object TextOps {
     bandsCache.getOrElseUpdate((s, d), bands(s, d).cache())
   }
 
-  /** The verify joins hit the distinct shingle set three times (two join sides
-    * + per-doc counts) — cache the deduped frame so the distinct's shuffle runs
-    * once per (session, dir). Built straight from the UNCACHED positional
-    * shingle frame: nothing else consumes the raw (doc_id, shingle) rows (r10 —
-    * rounds 3–9 also cached the raw frame, a corpus-sized block store entry
-    * whose only reader was this distinct's build scan; dropping it halves the
-    * text-side cache footprint and the explode it saves is scan-local).
-    */
   /** The Jaccard verify compares shingles only by EQUALITY, never by content,
     * so the verify path carries xxhash64(shingle) instead of the ~18-char
     * string: the distinct and both intersection-join exchanges shrink ~2.5×
@@ -95,16 +87,23 @@ object TextOps {
     Sizing.autoSizeShingleExchange(s, s"$d/documents.parquet"); ()
   }
 
-  private def distinctShinglesCached(s: SparkSession, d: String): DataFrame = {
-    // sizing is for the CONSUMERS (the verify's count/intersection exchanges
-    // read this cache at exploded width) — the build itself no longer
-    // exchanges: the old global distinct() keyed on (doc_id, shingle) was a
-    // per-doc dedup, now computed inside the scan by the ShingleHashes kernel
+  /** The verify's below-gate shared frame, DOC-level since r20: one row per
+    * doc carrying its distinct hashed-shingle ARRAY (the ShingleHashes kernel
+    * output), never the exploded (doc_id, shingle) rows rounds 3–19 cached.
+    * The array form is what [[jaccardCountsFromArrays]] joins — ~50× fewer
+    * cached rows at the same information content, and the verify that reads
+    * it has NO aggregation at all (the intersection cardinality computes
+    * scan-locally per pair via [[graft.functions.IntersectCount]]).
+    */
+  private def shingleArraysCached(s: SparkSession, d: String): DataFrame = {
+    // sizing is for the CONSUMERS (the verify's pair-join exchanges carry
+    // the per-doc array payloads) — the build itself never exchanges: the
+    // per-doc dedup happens inside the scan via the ShingleHashes kernel
     sizeShingleExchange(s, d)
-    distinctShinglesCache.getOrElseUpdate((s, d), {
+    shingleArraysCache.getOrElseUpdate((s, d), {
       graft.functions.ShingleHashes.register(s)
       documents(s, d).select(col("doc_id"),
-        explode(expr("shingle_hashes(text)")).as("shingle")).cache()
+        expr("shingle_hashes(text)").as("__sh")).cache()
     })
   }
 
@@ -320,7 +319,7 @@ object TextOps {
     "text-shingles" -> (() => {
       val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
       if (fp >= 0 && fp < CachedVerifyMaxDocBytes) {
-        distinctShinglesCached(s, d).count(); ()
+        shingleArraysCached(s, d).count(); ()
       }
     }),
     "text-decontam" -> (() => {
@@ -344,7 +343,7 @@ object TextOps {
 
   /** Unpersist and drop every cached frame (staleness/leak hook for long sessions). */
   def clearCaches(): Unit = {
-    for (m <- Seq(bandsCache, simhashCache, distinctShinglesCache,
+    for (m <- Seq(bandsCache, simhashCache, shingleArraysCache,
         decontamShinglesCache, simhash128Cache)) {
       m.values.foreach(_.unpersist())
       m.clear()
@@ -462,6 +461,42 @@ object TextOps {
     jaccardCountsFromParts(cand, dsh,
       dsh.groupBy("doc_id").agg(count(lit(1)).as("c")))
 
+  /** The r20 verify: [[jaccardCountsFrom]] reformulated over DOC-level
+    * distinct-shingle ARRAYS — two keyed joins and a scan-local
+    * [[graft.functions.IntersectCount]] kernel, NO aggregation anywhere.
+    * `arr` is (doc_id, __sh array<bigint>), one row per doc.
+    *
+    * Why (guide §2.3 "aggregate before you shuffle" taken to its limit —
+    * don't shuffle what you can compute scan-local): the exploded form
+    * multiplied every candidate row ~50× (one per shingle) through the
+    * (id_b, shingle) exchange and then aggregated the blowup back down with
+    * a corpus-scale groupBy(id_a, id_b) hash map — the aggregation whose
+    * per-task state was the measured 7× spill-to-shuffle residual at sf1000
+    * (SCALECHECK r18/r19; three falsification rounds pinned the mass inside
+    * this exact operator). Here each pair row carries the two ~50-element
+    * long arrays through the joins ONCE, i/ca/cb all evaluate inside the
+    * join's output projection, and the aggregation — with its hash map, its
+    * sort-spill, and its second exchange — does not exist.
+    *
+    * Row-identical to the exploded form by construction: i counts the same
+    * distinct xxhash64 values the old join matched on, ca/cb are the array
+    * sizes the old groupBy(doc_id).count computed, and pairs with an empty
+    * intersection are dropped by the `i >= 1` filter exactly as the old
+    * inner intersection join dropped them (JaccardGateSpec pins all forms
+    * row-for-row).
+    */
+  private def jaccardCountsFromArrays(cand: DataFrame, arr: DataFrame): DataFrame = {
+    graft.functions.IntersectCount.register(arr.sparkSession)
+    cand
+      .join(arr.select(col("doc_id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(arr.select(col("doc_id").as("id_b"), col("__sh").as("__shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("intersect_count(__sha, __shb)").as("i"),
+        size(col("__sha")).cast("long").as("ca"),
+        size(col("__shb")).cast("long").as("cb"))
+      .filter(col("i") >= 1)
+  }
+
   /** [[jaccardCountsFrom]] with the per-doc count frame supplied by the
     * caller: the array-form restricted branch computes `c` scan-locally
     * (`size` of the distinct-shingle array) instead of re-aggregating the
@@ -494,21 +529,25 @@ object TextOps {
   private val CachedVerifyMaxDocBytes: Long = 256L << 20
 
   /** Jaccard verification counts with the footprint-gated shingle strategy.
-    * Big-corpus path: the candidate pairs are localCheckpoint'd ONCE (the r9
-    * slowdown was each of three consumers re-deriving the band join, not the
-    * restriction itself), the candidate id set derives from the checkpoint,
-    * and the scan-local shingle explode semi-joins to it BEFORE the distinct —
-    * AQE turns that semi-join into a broadcast while the id set is small
-    * (~16% of docs at sf100) and a shuffle join if candidates ever grow
-    * corpus-sized, and the distinct then shuffles an order of magnitude fewer
-    * rows than the full-corpus frame. Results are identical: every id the
-    * counts/intersection joins touch is a candidate id by construction.
+    * Both branches run the SAME zero-aggregation array-join verify
+    * ([[jaccardCountsFromArrays]], r20) and differ only in where the per-doc
+    * shingle arrays come from: below the gate the shared cached full-corpus
+    * frame (straight cache hits, warm-bench-optimal), above it a scan-local
+    * build over the candidate-doc slice only. Big-corpus path: the candidate
+    * pairs are localCheckpoint'd ONCE (the r9 slowdown was each consumer
+    * re-deriving the band join, not the restriction itself), the candidate id
+    * set derives from the checkpoint, and the doc slice semi-joins to it
+    * BEFORE the shingle kernel runs — AQE turns that semi-join into a
+    * broadcast while the id set is small (~16% of docs at sf100) and a
+    * shuffle join if candidates ever grow corpus-sized. Results are
+    * identical: every id the verify joins touch is a candidate id by
+    * construction.
     */
   private def jaccardCountsGated(s: SparkSession, d: String, cand0: DataFrame): DataFrame = {
     sizeShingleExchange(s, d)
     val fp = Sizing.footprintBytesCached(s, s"$d/documents.parquet")
     if (fp >= 0 && fp < CachedVerifyMaxDocBytes)
-      jaccardCountsFrom(cand0, distinctShinglesCached(s, d))
+      jaccardCountsFromArrays(cand0, shingleArraysCached(s, d))
     else jaccardCountsRestricted(s, d, cand0)
   }
 
@@ -535,16 +574,18 @@ object TextOps {
     *    `distinct()` (one candidate-corpus × shingle-scale exchange on
     *    (doc_id, shingle)) and `size(__sh)` replaces the old
     *    `groupBy(doc_id).count` (a second such exchange) — both evaluate in
-    *    the scan task, leaving the intersection join's own exchanges as the
-    *    verify's ONLY shuffles. (An `array_distinct(transform(...))`
+    *    the scan task. (An `array_distinct(transform(...))`
     *    formulation of the same array interprets its lambda per shingle —
     *    measured 10× slower than legacy on the sf100 edge build, SCALECHECK.md
-    *    round 13 — so the kernel is load-bearing, not a nicety.) Same rows by
-    *    construction: the kernel emits the same xxhash64 values the old
-    *    distinct keyed on, and a zero-shingle doc contributes `c = 0` instead
-    *    of no count row, which no inter row (i >= 1 needs a shingle) can join
-    *    anyway. JaccardGateSpec pins all three forms (cached / kernel /
-    *    legacy) row-for-row.
+    *    round 13 — so the kernel is load-bearing, not a nicety.) Since r20
+    *    the arrays are not even exploded: the verify consumes them whole
+    *    ([[jaccardCountsFromArrays]]), so the only shuffles left are the two
+    *    pair-join exchanges, and no aggregation exists anywhere in the
+    *    verify. Same rows by construction: the kernel emits the same
+    *    xxhash64 values the old distinct keyed on, and a zero-shingle doc
+    *    contributes an empty array (i = 0, filtered) instead of no count
+    *    row. JaccardGateSpec pins all forms (exploded baseline / cached
+    *    arrays / restricted arrays / legacy) row-for-row.
     *
     * `SPARK_GRAFT_VERIFY_ARRAYS=0` forces the legacy distinct+groupBy form
     * (operator A/B knob, same human-outranks-heuristic contract as
@@ -555,13 +596,19 @@ object TextOps {
     if (Knobs.bool("SPARK_GRAFT_VERIFY_ARRAYS").contains(false))
       jaccardCountsRestrictedLegacy(s, d, cand0)
     else {
+      // r20: rule 2 taken one step further — the per-doc arrays no longer
+      // explode at all. The candidate-doc slice keeps its kernel-built
+      // distinct-shingle ARRAY on the doc row, and the verify is the same
+      // two-join zero-aggregation plan as the cached branch
+      // ([[jaccardCountsFromArrays]]); the explode, the shingle-level
+      // intersection exchange, and the groupBy(id_a, id_b) spill source are
+      // all gone. Rule 1 (restrict the DOCUMENT frame before shingling)
+      // stands unchanged via [[restrictedDocs]].
       graft.functions.ShingleHashes.register(s)
       val cand = cand0.localCheckpoint()
       val docs = restrictedDocs(s, d, cand)
         .select(col("doc_id"), expr("shingle_hashes(text)").as("__sh"))
-      val vsh = docs.select(col("doc_id"), explode(col("__sh")).as("shingle"))
-      val cnt = docs.select(col("doc_id"), size(col("__sh")).as("c"))
-      jaccardCountsFromParts(cand, vsh, cnt)
+      jaccardCountsFromArrays(cand, docs)
     }
 
   /** Pre-round-13 restricted form: global distinct + groupBy count over the
@@ -585,10 +632,25 @@ object TextOps {
     documents(s, d).join(ids, Seq("doc_id"), "left_semi")
   }
 
-  /** Test hook: the cached branch of the gate, for the equivalence spec. */
+  /** Test hook: the pre-r20 exploded-join verify over a freshly built
+    * distinct-shingle frame — the ground-truth baseline the equivalence spec
+    * compares both array forms (and legacy) against. Uncached on purpose: the
+    * spec wants the OLD plan shape (shingle-level intersection join +
+    * groupBy(id_a, id_b) count), not the old cache.
+    */
+  private[graft] def jaccardCountsExplodedForTest(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(s)
+    jaccardCountsFrom(cand, documents(s, d).select(col("doc_id"),
+      explode(expr("shingle_hashes(text)")).as("shingle")))
+  }
+
+  /** Test hook: the gate's below-threshold branch (arrays over the shared
+    * cached frame), for the equivalence spec.
+    */
   private[graft] def jaccardCountsFromCachedForTest(s: SparkSession, d: String,
       cand: DataFrame): DataFrame =
-    jaccardCountsFrom(cand, distinctShinglesCached(s, d))
+    jaccardCountsFromArrays(cand, shingleArraysCached(s, d))
 
   private def jaccardCounts(s: SparkSession, d: String): DataFrame =
     jaccardCountsGated(s, d, candidatePairs(s, d))

