@@ -47,7 +47,13 @@ object CleanerDrain {
   private val attachState = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
 
-  private def attach(sc: SparkContext): Boolean = {
+  private def attach(sc: SparkContext): Boolean = attachState.synchronized {
+    // the whole lookup-and-attach runs under the map's own lock (r20, the
+    // r19 ADVICE item): a non-atomic get-then-put let two threads draining
+    // the same new context BOTH perform the reflective attach, accumulating
+    // listener proxies that can never detach — exactly the leak the
+    // lastEvent scaladoc warns about. Contention is nil (drains are
+    // measurement-boundary events), so one coarse lock is the right size.
     val known = attachState.get(sc)
     if (known != null) known.booleanValue()
     else

@@ -606,8 +606,16 @@ object TextOps {
       // stands unchanged via [[restrictedDocs]].
       graft.functions.ShingleHashes.register(s)
       val cand = cand0.localCheckpoint()
+      // checkpoint the candidate-doc ARRAY frame too (r20): both pair-join
+      // sides read it, and without the pin each side re-runs the whole
+      // documents scan + candidate-id aggregation + semi-join + shingle
+      // kernel (the sf100 after-plan showed the subtree twice). The frame is
+      // small — candidate docs only, one ~50-long array per doc (~0.4 KB/doc;
+      // ~16% of docs at sf100) — the exact shape the r9 cand checkpoint
+      // precedent pins as worth materializing once.
       val docs = restrictedDocs(s, d, cand)
         .select(col("doc_id"), expr("shingle_hashes(text)").as("__sh"))
+        .localCheckpoint()
       jaccardCountsFromArrays(cand, docs)
     }
 
@@ -709,14 +717,36 @@ object TextOps {
     * localCheckpoint'd in the fused form: `ex` still feeds three consumers
     * (the two semi-join id sides + the final anti-join) but is a narrow
     * re-scan (r9 measured checkpointing the then-wide `ex` ~30% SLOWER).
+    *
+    * The quality gate evaluates its per-doc stats ONCE in a projection and
+    * filters on the projected values (r20): a single Filter condition gets
+    * no cross-conjunct subexpression elimination in predicate codegen, so
+    * the one-Column [[qualityKeep]] form re-ran `size(split(text, ' '))`
+    * FIVE times and `count_words_in` twice per input row — visible verbatim
+    * in the r20 before-plan's Filter condition — and this stage re-executes
+    * per consumer in the fused form, tripling that. Same gate by
+    * construction: identical stat expressions, identical comparisons on the
+    * unrounded values (t08's oracle-checked [[qualityKeep]] stays the
+    * single-Column form, where ProjectExec's subexpression elimination
+    * already applies; StagedCleanSpec pins d10's row parity).
     */
-  private def cleanSurvivors(s: SparkSession, d: String): DataFrame =
-    documents(s, d).filter(qualityKeep)
+  private def cleanSurvivors(s: SparkSession, d: String): DataFrame = {
+    registerKernels(s)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("__ntok"),
+        countIn(Seq("the", "a")).cast("double").as("__nstop"),
+        length(col("text")).cast("long").as("__len"))
+      .filter(col("__ntok").between(20, 1000) &&
+        (col("__nstop") / col("__ntok")).between(0.01, 0.30) &&
+        ((col("__len") - (col("__ntok") - 1)).cast("double") / col("__ntok"))
+          .between(3.0, 8.0))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         md5(col("text").cast("binary")).as("__h"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__h")).orderBy("doc_id")))
       .filter(col("__rn") === 1).select("doc_id", "lang", "n_chars")
+  }
 
   /** d10 stage 2 — full-corpus LSH candidate pairs restricted to survivor
     * endpoints (the cached-frame reuse argument on [[cleanCorpus]]).
@@ -767,11 +797,22 @@ object TextOps {
     * precedent: PlanProbe's cold totals include them; the timed rep is the
     * honest full execution).
     */
+  /** Staging root shared by BOTH staged operators (d10s's stage tables,
+    * d09's edge boundary): `SPARK_GRAFT_STAGE_DIR` if set, else the driver's
+    * java.io.tmpdir. On any non-local master the root MUST be a shared
+    * filesystem (HDFS/object store/NFS) — a node-local path commits
+    * executor-locally and the read-back misses files; local[*] is the only
+    * master where the tmpdir default is sound (r20, the r19 VERDICT watch
+    * item: d09 hardcoded tmpdir where d10s documented the contract).
+    */
+  private def stageRootBase: String =
+    sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", sys.props("java.io.tmpdir"))
+
   private[graft] def cleanCorpusStaged(s: SparkSession, d: String,
       stageRoot: Option[String] = None): DataFrame = {
     registerKernels(s)
     val root = stageRoot.getOrElse(
-      s"${sys.props("java.io.tmpdir")}/graft-d10-staged/" +
+      s"$stageRootBase/graft-d10-staged/" +
         f"${(s.hashCode.toLong << 32 | (d.hashCode.toLong & 0xffffffffL))}%016x")
     def stage(name: String, df: DataFrame): DataFrame = {
       val p = s"$root/$name.parquet"
@@ -829,11 +870,12 @@ object TextOps {
     val edges =
       if (!useStage) edges0
       else {
-        // per-(session, input) dir under tmpdir, overwritten on re-invocation
-        // (the cleanCorpusStaged contract: repeated bench reps don't
-        // accumulate copies; the returned frame reads the boundary, so
+        // per-(session, input) dir under the shared staging root
+        // ([[stageRootBase]]: SPARK_GRAFT_STAGE_DIR > tmpdir — the d10s
+        // contract, r20), overwritten on re-invocation (repeated bench reps
+        // don't accumulate copies; the returned frame reads the boundary, so
         // nothing here deletes it)
-        val p = s"${sys.props("java.io.tmpdir")}/graft-d09-staged/" +
+        val p = s"$stageRootBase/graft-d09-staged/" +
           f"${(s.hashCode.toLong << 32 | (d.hashCode.toLong & 0xffffffffL))}%016x/edges.parquet"
         edges0.write.mode("overwrite").parquet(p)
         s.read.parquet(p)

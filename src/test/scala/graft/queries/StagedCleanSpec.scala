@@ -46,6 +46,23 @@ class StagedCleanSpec extends AnyFunSuite {
     assert(fused.nonEmpty) // non-vacuous: the corpus has near-dup clusters
   }
 
+  test("d09's staged boundary lands under the shared stage root (r20)") {
+    // the edge boundary resolves through the same SPARK_GRAFT_STAGE_DIR >
+    // tmpdir base as d10s (TextOps.stageRootBase) — the boundary write is
+    // eager at build time, so after building the staged frame the edges
+    // table must exist under <base>/graft-d09-staged (the r19 VERDICT watch
+    // item: on a multi-node master the base must be a shared filesystem;
+    // the knob is the cluster hook). Asserted on the filesystem, not the
+    // plan string — AQE's initial-plan print truncates scan locations.
+    TextOps.dedupClusters(spark, sf001, staged = Some(true))
+    val base = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", sys.props("java.io.tmpdir"))
+    val edges = Option(new java.io.File(s"$base/graft-d09-staged").listFiles())
+      .getOrElse(Array.empty).flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName == "edges.parquet")
+    assert(edges.nonEmpty, s"no edges.parquet under $base/graft-d09-staged")
+  }
+
   test("d09 gate: fused below the verify pivot, staged at and above it") {
     // sf0.01's documents footprint is far below CachedVerifyMaxDocBytes, so
     // the registered row keeps the fused (byte-identical, no-tmp-write) plan:
