@@ -13,6 +13,13 @@ Test / fork := true
 // one shared SparkSession per test JVM; run suites sequentially
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked run's stdout/stderr through UNPREFIXED: the default
+// LoggedOutput prepends "[info] "/"[error] " to every line, which breaks
+// any consumer that machine-parses the bench's one stdout JSON line (the
+// driver's bench capture has recorded "parsed": null for 20 straight
+// rounds — the contract line never reached it bare). StdoutOutput streams
+// the child's fds straight through, so `{"metric":...}` is a bare line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -35,8 +35,17 @@ object IntersectCountKernel {
     val nb = b.numElements()
     if (na == 0 || nb == 0) return 0L
     val (small, large, ns, nl) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
-    var cap = 4
-    while (cap < ns * 2) cap <<= 1
+    // Capacity sizing in LONG: `cap < ns * 2` in Int overflows past 2^30
+    // elements and degenerates cap (eventually 0 → infinite probe loop).
+    // Unreachable for ~50-element shingle arrays, but the function is
+    // registered session-wide for arbitrary array<bigint> input (r20 ADVICE).
+    // A build side near Int.MaxValue could never fit a power-of-two open
+    // table in a JVM array anyway — reject it instead of looping forever.
+    require(ns <= (1 << 29),
+      s"intersect_count: build-side array of $ns elements exceeds the 2^29 cap")
+    var capL = 4L
+    while (capL < ns.toLong * 2) capL <<= 1
+    val cap = capL.toInt
     val mask = cap - 1
     val table = new Array[Long](cap)
     val occ = new Array[Boolean](cap)
@@ -76,15 +85,23 @@ object IntersectCountKernel {
   */
 case class IntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
+  // containsNull = false REQUIRED (r20 ADVICE): the kernel reads elements
+  // via getLong, which renders a null element as 0 — silently diverging from
+  // size(array_intersect(...)) for any SQL user feeding nullable-element
+  // arrays. The ShingleHashes producer contract is containsNull = false, so
+  // the shipped callers are unaffected; arbitrary session-SQL callers now
+  // get an analysis error instead of a wrong count.
   private def isLongArray(dt: DataType): Boolean = dt match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, false) => true
     case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
     if (isLongArray(left.dataType) && isLongArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"intersect_count expects (array<bigint>, array<bigint>), got " +
+      s"intersect_count expects (array<bigint>, array<bigint>) with " +
+        s"non-null elements (the ShingleHashes contract; note duplicate " +
+        s"probe-side elements each count), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = LongType
   override def prettyName: String = "intersect_count"
@@ -106,7 +123,12 @@ object IntersectCount {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("intersect_count"),
-      new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, null, "intersect_count",
+        "_FUNC_(a, b) - distinct-intersection cardinality of two " +
+          "array<bigint> columns with non-null elements. Contract: elements " +
+          "within each array are DISTINCT (ShingleHashes output); duplicate " +
+          "probe-side elements each count, diverging from " +
+          "size(array_intersect(a, b)).", ""),
       (args: Seq[Expression]) => {
         require(args.length == 2, "intersect_count takes two arguments")
         IntersectCount(args.head, args(1))

@@ -91,17 +91,22 @@ object Components {
   def minLabelComponentsWithRounds(edges: DataFrame, maxRounds: Int = 50,
       retirePairs: Option[Boolean] = None): (DataFrame, Int) = {
     val t0 = System.nanoTime()
-    // Pin the DIRECTED edge frame before symmetrizing: the union's two branches
-    // are separate physical subtrees, so without this the upstream edge plan —
-    // in the dedup pipeline a full candidate-verification (band join + Jaccard
-    // counts) — executes TWICE to build `sym` (measured at sf0.1: the sym
-    // checkpoint was ~2.3 s of a ~6 s d09, double its upstream's one-shot
-    // cost). One checkpoint makes both branches read pinned partitions.
-    val e0 = edges.localCheckpoint()
-    val sym = e0.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(e0.select(col("id_b").as("u"), col("id_a").as("v")))
+    // Symmetrize in ONE pass (r21): explode each directed edge into both
+    // orientations inside a single projection, so the upstream edge plan —
+    // in the dedup pipeline a full candidate-verification (band join +
+    // Jaccard counts) — executes exactly once, inside the one checkpoint
+    // that pins the frame the loop re-reads every round. The pre-r21 form
+    // needed TWO checkpoints for the same guarantee (pin the directed frame,
+    // then union two projections over it and pin that): one extra action,
+    // one extra full materialization of the edge set, and the pinned
+    // directed copy to release — at sf0.1 the two-checkpoint symmetrize was
+    // 0.86–2.07 s of a ~2.3–3.7 s components stage (logged warm reps); at
+    // sf1000 it materialized the 4.5 M-row verify output twice.
+    val sym = edges.select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .localCheckpoint() // the edge frame is reused every round; pin it once
-    dropCheckpoint(e0) // sym is pinned; the directed copy is dead
     // Attribute the upstream edge materialization (in the dedup pipeline: the
     // whole band-join + Jaccard verify, by far the dominant cost at sf1000)
     // separately from the retirement prepass — the pre-r13 log charged both

@@ -762,13 +762,35 @@ object TextOps {
       .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.5)
       .select("id_a", "id_b")
 
+  /** Broadcast ceiling for [[cleanKeep]]'s LOSERS side, in rows (r21). The
+    * components output is localCheckpoint'ed, so counting the losers is one
+    * cheap job over pinned partitions (the RetireMinSymRows gate precedent).
+    * Without the hint the anti-join stays SortMergeJoin — the loop's
+    * checkpointed RDD has no size statistics, so neither the planner nor
+    * AQE's initial plan can see how small it is, and the whole SURVIVORS
+    * table (3 narrow columns × ~85% of the corpus) pays a hash exchange
+    * just to drop the ~2% of ids that lost their cluster. At the ceiling the
+    * broadcast relation is 4 M longs ≈ 100–150 MB built (LongHashedRelation)
+    * — the guide's "a few hundred MB is usually fine" regime, far under the
+    * 8 GB/512 M-row hard cap; measured losers: sf0.1 ~200 rows, sf100 ~380 k,
+    * sf1000 ~3.8 M (SCALECHECK d09 digits) — the gate covers three measured
+    * decades and falls back to the exchange plan beyond.
+    */
+  private[graft] val KeepAntiBroadcastMaxRows: Long = 4000000L
+
   /** d10 stage 4 — keep each near-dup cluster's min id: components label every
-    * clustered doc, and survivors that are not their cluster's min drop.
+    * clustered doc, and survivors that are not their cluster's min drop. The
+    * anti-join's losers side broadcasts below [[KeepAntiBroadcastMaxRows]]
+    * (r21): the survivors side then keeps its scan partitioning straight into
+    * the contract sort instead of paying a doc_id hash exchange + sort-merge
+    * against a side orders of magnitude smaller.
     */
   private def cleanKeep(ex: DataFrame, edges: DataFrame): DataFrame = {
     val losers = Components.minLabelComponents(edges)
       .filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
-    ex.join(losers, Seq("doc_id"), "left_anti")
+    val hinted = if (losers.count() <= KeepAntiBroadcastMaxRows)
+      broadcast(losers) else losers
+    ex.join(hinted, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars").orderBy("doc_id")
   }
 

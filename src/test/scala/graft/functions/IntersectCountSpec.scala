@@ -39,10 +39,25 @@ class IntersectCountSpec extends AnyFunSuite {
 
   test("null input propagates null (matches the SQL form)") {
     IntersectCount.register(spark)
+    // if(false, ..., null) yields a NULL array whose type keeps the
+    // producer's containsNull=false — `cast(null as array<bigint>)` would
+    // parse as containsNull=true, which the r21 type check rejects (the
+    // kernel reads null elements as 0, silently diverging from
+    // size(array_intersect); see IntersectCount.checkInputDataTypes)
     val r = Seq(("x")).toDF("t")
-      .select(expr("intersect_count(cast(null as array<bigint>), array(1L, 2L))").as("k"))
+      .select(expr("intersect_count(if(false, array(1L, 2L), null), array(1L, 2L))").as("k"))
       .collect().head
     assert(r.isNullAt(0))
+  }
+
+  test("nullable-element array types are rejected at analysis (r21)") {
+    IntersectCount.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x")).toDF("t")
+        .select(expr("intersect_count(cast(null as array<bigint>), array(1L, 2L))"))
+        .collect()
+    }
+    assert(e.getMessage.contains("non-null elements"))
   }
 
   test("property: agreement on random distinct long arrays") {

@@ -56,11 +56,13 @@ class StagedCleanSpec extends AnyFunSuite {
     // plan string — AQE's initial-plan print truncates scan locations.
     TextOps.dedupClusters(spark, sf001, staged = Some(true))
     val base = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", sys.props("java.io.tmpdir"))
-    val edges = Option(new java.io.File(s"$base/graft-d09-staged").listFiles())
-      .getOrElse(Array.empty).flatMap(d =>
-        Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(_.getName == "edges.parquet")
-    assert(edges.nonEmpty, s"no edges.parquet under $base/graft-d09-staged")
+    // assert on the EXACT per-(session, dir) hash path the production code
+    // writes (r20 ADVICE: scanning every subdirectory would let a stale
+    // boundary from a previous run satisfy the assertion even if this run
+    // wrote nothing)
+    val key = f"${(spark.hashCode.toLong << 32 | (sf001.hashCode.toLong & 0xffffffffL))}%016x"
+    val edges = new java.io.File(s"$base/graft-d09-staged/$key/edges.parquet")
+    assert(edges.exists(), s"no edges.parquet at ${edges.getPath}")
   }
 
   test("d09 gate: fused below the verify pivot, staged at and above it") {
