@@ -343,7 +343,7 @@ object ScaleCheck {
     // "synth" is a deliberate no-op: SPARK_GRAFT_STEPS=synth runs ONLY the
     // synthesis (building a corpus for an external probe like PlanProbe's
     // sf150 scratch campaign) without paying any measurement step.
-    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue", "d11probe", "megacluster", "giant", "synth")
+    val knownSteps = Set("candidates", "ivf", "recall", "newops", "round7", "auto", "loadmany", "planted", "residue", "d11probe", "megacluster", "giant", "synth", "m02probe")
     val onlySteps = sys.env.get("SPARK_GRAFT_STEPS").map(_.split(",").map(_.trim).toSet)
     onlySteps.foreach { s =>
       val unknown = s.diff(knownSteps)
@@ -490,6 +490,52 @@ object ScaleCheck {
         f""""cached_partitions":$cachedParts,"total_partitions":$totalParts,""" +
         f""""cache_mem_bytes":$memB,"cache_disk_bytes":$diskB}""")
       graft.Caches.clearAll()
+    }
+
+    if (stepExplicit("m02probe"))
+    // m02 real-decode scale shape (r19 VERDICT task 7, opt-in): the
+    // javax.imageio header read runs per-row inside decode's mapPartitions —
+    // correct and shuffle-free by construction, but unmeasured beyond sf0.1.
+    // This leg builds a parquet media corpus ≥ sf10-class row counts
+    // (default 1 M rows ≈ 2× sf10's 500 k documents) with a realistic
+    // image-mime fraction (default 30% image/bmp — real BMPs via
+    // syntheticBmp, avg ~11.5 KB, parsed through the genuine ImageIO reader;
+    // the rest text/plain on the stub branch), then times TWO decode reps
+    // over the parquet read with StageMetrics deltas. The pinned claims:
+    // shuffle_mb ≈ 0 (the payload never crosses an exchange — decode emits
+    // metadata only) and spill_mb ≈ 0 (the reader buffers one payload at a
+    // time — no surprise accumulation), with the wall CPU-bounded.
+    {
+      import spark.implicits._
+      val n = sys.env.getOrElse("SPARK_GRAFT_M02_ROWS", "1000000").toLong
+      val pctImg = 30 // of 100, by id mod — deterministic corpus
+      val path = s"$dst/media_probe.parquet"
+      val (_, synthSec) = timed {
+        spark.range(n).map { i =>
+          if (i % 100 < pctImg) (i, "image/bmp", graft.multimodal.Multimodal.syntheticBmp(i))
+          else (i, "text/plain",
+            s"media probe text payload $i with a few words of ballast".getBytes("UTF-8"))
+        }.toDF("media_id", "mime", "payload")
+          .write.mode("overwrite").parquet(path)
+      }
+      val media = spark.read.parquet(path)
+      val metrics = new graft.StageMetrics
+      spark.sparkContext.addSparkListener(metrics)
+      def snap(): (Long, Long) = { graft.StageMetrics.drain(spark); metrics.snapshot }
+      def rep(): (Double, Long, Long) = {
+        val (sp0, sh0) = snap()
+        val (_, sec) = timed(graft.multimodal.Multimodal.decode(media)
+          .write.format("noop").mode("overwrite").save())
+        val (sp1, sh1) = snap()
+        (sec, (sp1 - sp0) >> 20, (sh1 - sh0) >> 20)
+      }
+      val (r1, sp1, sh1) = rep()
+      val (r2, sp2, sh2) = rep()
+      println(f"""SCALECHECK {"step":"m02probe","rows":$n,"image_pct":$pctImg,""" +
+        f""""synth_sec":$synthSec%.1f,"rep1_sec":$r1%.1f,"rep2_sec":$r2%.1f,""" +
+        f""""rep1_spill_mb":$sp1,"rep1_shuffle_mb":$sh1,""" +
+        f""""rep2_spill_mb":$sp2,"rep2_shuffle_mb":$sh2}""")
+      spark.sparkContext.removeSparkListener(metrics)
     }
 
     if (stepOn("ivf"))
